@@ -1,0 +1,85 @@
+"""Global defaults and configuration.
+
+Mirrors the role of the reference's `Defaults` module
+(reference src/utility/defaults.jl:6-84): numeric defaults, default solver
+parameters, verbosity levels, and parallelization preferences — except that
+parallelization here is expressed as a JAX device-mesh configuration rather
+than thread-count preferences.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+# ----------------------------------------------------------------------------
+# verbosity levels (reference src/utility/defaults.jl:12-16)
+# ----------------------------------------------------------------------------
+VERBOSE_NONE = 0
+VERBOSE_WARN = 1
+VERBOSE_CONV = 2
+VERBOSE_ITER = 3
+VERBOSE_ALL = 4
+
+
+class Defaults:
+    """Numeric and solver defaults (reference src/utility/defaults.jl:18-57)."""
+
+    eltype = jnp.complex128
+    real_eltype = jnp.float64
+
+    maxiter: int = 100
+    miniter: int = 5
+    tol: float = 1e-12
+    tolgauge: float = 1e-13
+    verbosity: int = VERBOSE_WARN
+
+    # Krylov defaults
+    krylovdim: int = 30
+    eig_maxiter: int = 100
+    linsolve_maxiter: int = 60
+    gauge_maxiter: int = 500
+
+    # dynamic tolerance scaling (reference src/utility/defaults.jl:38-57)
+    tol_factor: float = 1e-4
+    tol_min: float = 1e-14
+    tol_max: float = 1e-4
+    eig_miniter: int = 10
+
+    @staticmethod
+    def to_real(dtype) -> jnp.dtype:
+        return jnp.zeros((), dtype=dtype).real.dtype
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    """Device-mesh configuration for sharded contractions.
+
+    The TPU analogue of the reference's parallelization preferences
+    (reference src/utility/defaults.jl:62-82): instead of thread counts we
+    carry a `jax.sharding.Mesh` and the axis names over which the virtual
+    (bond) dimension and the unit-cell/site axis are sharded.
+    """
+
+    mesh: Optional[jax.sharding.Mesh] = None
+    bond_axis: Optional[str] = "bond"
+    site_axis: Optional[str] = None
+
+    @staticmethod
+    def single_device() -> "MeshConfig":
+        return MeshConfig(mesh=None)
+
+
+_GLOBAL_MESH: MeshConfig = MeshConfig.single_device()
+
+
+def set_mesh(cfg: MeshConfig) -> None:
+    global _GLOBAL_MESH
+    _GLOBAL_MESH = cfg
+
+
+def get_mesh() -> MeshConfig:
+    return _GLOBAL_MESH

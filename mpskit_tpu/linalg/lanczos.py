@@ -1,0 +1,123 @@
+"""On-device Lanczos (Hermitian eigensolver), replacing KrylovKit's
+`eigsolve(..., :SR, Lanczos)` (reference src/algorithms/fixedpoint.jl:9-30).
+
+Full reorthogonalization (two-pass classical Gram-Schmidt against the whole
+stacked basis) for numerical stability; restarted with the Ritz vector; fixed
+static Krylov dimension so everything compiles to one XLA while_loop.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..utils.tree import tree_norm, tree_scale, tree_add
+from .basis import basis_zeros, basis_get, basis_set, basis_inner_all, basis_combine
+
+_BREAKDOWN = 1e-14
+_SENTINEL = 1e30
+
+
+def lanczos_factorize(matvec: Callable, v0, m: int):
+    """Run m Lanczos steps from (normalized) v0.
+
+    Returns (V, alpha, beta, nvalid) where V is the stacked basis (m slots),
+    alpha (m,) real diagonal, beta (m,) real off-diagonal (beta[j] connects
+    j and j+1; beta[m-1] is the residual norm of the last step), and
+    nvalid counts steps before breakdown.
+    """
+    n0 = tree_norm(v0)
+    v = tree_scale(1.0 / jnp.maximum(n0, _BREAKDOWN), v0)
+    V = basis_set(basis_zeros(v, m), 0, v)
+
+    rdt = jnp.zeros((), jax.tree_util.tree_leaves(v)[0].dtype).real.dtype
+    alpha = jnp.zeros((m,), rdt)
+    beta = jnp.zeros((m,), rdt)
+
+    def body(j, carry):
+        V, alpha, beta = carry
+        vj = basis_get(V, j)
+        w = matvec(vj)
+        # two-pass CGS against the full (zero-padded) basis
+        c1 = basis_inner_all(V, w)
+        w = tree_add(w, basis_combine(V, c1), alpha=-1.0)
+        c2 = basis_inner_all(V, w)
+        w = tree_add(w, basis_combine(V, c2), alpha=-1.0)
+        a = jnp.real(c1[j] + c2[j])
+        b = tree_norm(w)
+        alpha = alpha.at[j].set(a)
+        beta = beta.at[j].set(b)
+        wn = tree_scale(jnp.where(b > _BREAKDOWN, 1.0 / jnp.maximum(b, _BREAKDOWN), 0.0), w)
+        V = jax.lax.cond(
+            j + 1 < m,
+            lambda V: basis_set(V, j + 1, wn),
+            lambda V: V,
+            V,
+        )
+        return V, alpha, beta
+
+    V, alpha, beta = jax.lax.fori_loop(0, m, body, (V, alpha, beta))
+
+    # steps after a breakdown produce zero vectors; count the valid prefix
+    broke = beta <= _BREAKDOWN
+    nvalid = jnp.where(jnp.any(broke), jnp.argmax(broke) + 1, m).astype(jnp.int32)
+    return V, alpha, beta, nvalid
+
+
+def _tridiag(alpha, beta, nvalid, sentinel):
+    m = alpha.shape[0]
+    idx = jnp.arange(m)
+    a = jnp.where(idx < nvalid, alpha, sentinel)
+    b = jnp.where(idx[:-1] < nvalid - 1, beta[:-1], 0.0)
+    T = jnp.diag(a) + jnp.diag(b, 1) + jnp.diag(b, -1)
+    return T
+
+
+class EigshResult(NamedTuple):
+    eigenvalue: jnp.ndarray
+    eigenvector: object
+    residual: jnp.ndarray
+    iterations: jnp.ndarray
+    converged: jnp.ndarray
+
+
+@partial(jax.jit, static_argnums=(0, 2, 3))
+def eigsh_smallest(matvec: Callable, v0, m: int = 30, maxrestarts: int = 100,
+                   tol=1e-12) -> EigshResult:
+    """Smallest-real eigenpair of a Hermitian operator via restarted Lanczos."""
+
+    def restart(state):
+        v, _, _, it, _ = state
+        V, alpha, beta, nvalid = lanczos_factorize(matvec, v, m)
+        T = _tridiag(alpha, beta, nvalid, _SENTINEL)
+        evals, evecs = jnp.linalg.eigh(T)
+        s = evecs[:, 0]
+        lam = evals[0]
+        x = basis_combine(V, s)
+        xn = tree_norm(x)
+        x = tree_scale(1.0 / jnp.maximum(xn, _BREAKDOWN), x)
+        # residual bound: beta_last * |s_last| on the valid block
+        last = jnp.clip(nvalid - 1, 0, m - 1)
+        resid = jnp.where(nvalid < m, 0.0, jnp.abs(beta[last] * s[last]))
+        return x, lam.astype(alpha.dtype), resid.astype(alpha.dtype), it + 1, nvalid
+
+    def cond(state):
+        _, _, resid, it, _ = state
+        return jnp.logical_and(it < maxrestarts,
+                               jnp.logical_or(it < 1, resid > tol))
+
+    rdt = jnp.zeros((), jax.tree_util.tree_leaves(v0)[0].dtype).real.dtype
+    init = (v0, jnp.zeros((), rdt), jnp.array(jnp.inf, rdt),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    x, lam, resid, it, _ = jax.lax.while_loop(cond, restart, init)
+    return EigshResult(lam, x, resid, it, resid <= tol)
+
+
+def lanczos_groundstate(matvec, v0, m: int = 30, maxrestarts: int = 100,
+                        tol=1e-12):
+    """Convenience alias returning (eigenvalue, eigenvector)."""
+    res = eigsh_smallest(matvec, v0, m, maxrestarts, tol)
+    return res.eigenvalue, res.eigenvector

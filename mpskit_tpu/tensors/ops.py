@@ -1,0 +1,204 @@
+"""Dense tensor core: the TPU-native replacement for the reference's L0
+(TensorKit.jl — see SURVEY.md §2.8).
+
+Conventions used throughout the framework:
+
+- MPS site tensor ``A[l, p, r]``: left virtual, physical, right virtual.
+- Bond / center matrix ``C[l, r]``.
+- MPO site tensor ``W[a, b, s, t]``: left FSM/virtual, right FSM/virtual,
+  physical-out (bra side), physical-in (ket side).
+- Left environment ``GL[a, l_bra, l_ket]``; right environment
+  ``GR[b, r_bra, r_ket]``.
+
+All decompositions are shape-static: truncation is expressed by *masking*
+(zeroing) singular values rather than by changing array shapes, so the whole
+framework stays jit/scan/pjit-compatible (SURVEY.md §7 "masked-rank design").
+
+Replaces (cf. reference usage sites):
+- ``leftorth/rightorth`` with QRpos/LQpos — reference src/states/ortho.jl:17,127-138
+- ``tsvd`` with truncdim/truncerr/truncbelow — reference
+  src/algorithms/groundstate/dmrg.jl:96 and TensorKit truncation schemes
+- ``leftnull/rightnull`` — reference src/states/quasiparticle_state.jl:30-56
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+# ----------------------------------------------------------------------------
+# sign-fixed QR / LQ
+# ----------------------------------------------------------------------------
+
+def qr_pos(M):
+    """Thin QR with the diagonal of R made real-positive (QRpos).
+
+    M: (m, n) with m >= n (or not; thin QR of any shape).
+    Returns Q (m, k), R (k, n) with k = min(m, n).
+    """
+    Q, R = jnp.linalg.qr(M, mode="reduced")
+    d = jnp.diagonal(R)
+    phase = jnp.where(jnp.abs(d) > 1e-300, d / jnp.abs(d).astype(d.dtype), 1.0).astype(M.dtype)
+    Q = Q * phase[None, :]
+    R = R * jnp.conj(phase)[:, None]
+    return Q, R
+
+
+def lq_pos(M):
+    """Thin LQ with diagonal of L real-positive: M = L @ Q, Q rows orthonormal."""
+    Qh, Rh = qr_pos(jnp.conj(M.T))
+    return jnp.conj(Rh.T), jnp.conj(Qh.T)
+
+
+def leftorth(A):
+    """MPS tensor (l, p, r) -> (AL, C): A = AL @ C with AL left-isometric.
+
+    AL has the same static shape as A; when l*p < r the isometry is
+    rank-deficient and C carries the (masked) rank.
+    """
+    l, p, r = A.shape
+    Q, R = qr_pos(A.reshape(l * p, r))
+    k = Q.shape[1]
+    if k < r:  # pad back to static shape
+        Q = jnp.pad(Q, ((0, 0), (0, r - k)))
+        R = jnp.pad(R, ((0, r - k), (0, 0)))
+    return Q.reshape(l, p, r), R
+
+
+def rightorth(A):
+    """MPS tensor (l, p, r) -> (C, AR): A = C @ AR with AR right-isometric."""
+    l, p, r = A.shape
+    L, Q = lq_pos(A.reshape(l, p * r))
+    k = Q.shape[0]
+    if k < l:
+        Q = jnp.pad(Q, ((0, l - k), (0, 0)))
+        L = jnp.pad(L, ((0, 0), (0, l - k)))
+    return L, Q.reshape(l, p, r)
+
+
+def leftnull(A):
+    """Orthonormal basis of the orthogonal complement of the columns of
+    A reshaped (l*p, r): returns VL of shape (l, p, l*p - r) with
+    VL^dagger A = 0 and VL^dagger VL = 1.
+
+    Used for quasiparticle null spaces (reference
+    src/states/quasiparticle_state.jl:30-56).
+    """
+    l, p, r = A.shape
+    M = A.reshape(l * p, r)
+    Q, _ = jnp.linalg.qr(M, mode="complete")  # (lp, lp)
+    VL = Q[:, r:]
+    return VL.reshape(l, p, l * p - r)
+
+
+def rightnull(A):
+    """Row-space complement: A (l, p, r) reshaped (l, p*r); returns VR of
+    shape (p*r - l, p, r) with A VR^dagger = 0, VR VR^dagger = 1."""
+    l, p, r = A.shape
+    M = A.reshape(l, p * r)
+    Q, _ = jnp.linalg.qr(jnp.conj(M.T), mode="complete")
+    VR = jnp.conj(Q[:, l:].T)
+    return VR.reshape(p * r - l, p, r)
+
+
+# ----------------------------------------------------------------------------
+# truncated SVD with masked ranks
+# ----------------------------------------------------------------------------
+
+@dataclasses.dataclass(frozen=True)
+class TruncationScheme:
+    """Static truncation policy (mirrors TensorKit truncdim/truncerr/
+    truncbelow/notrunc, cf. SURVEY.md §2.8).
+
+    dim: keep at most `dim` singular values (static output width).
+    err: additionally drop smallest values while the *discarded 2-norm
+         fraction* stays below `err`.
+    below: drop singular values below `below` (absolute).
+    """
+
+    dim: Optional[int] = None
+    err: Optional[float] = None
+    below: Optional[float] = None
+
+
+def truncdim(d: int) -> TruncationScheme:
+    return TruncationScheme(dim=d)
+
+
+def truncerr(e: float, dim: Optional[int] = None) -> TruncationScheme:
+    return TruncationScheme(err=e, dim=dim)
+
+
+def truncbelow(e: float, dim: Optional[int] = None) -> TruncationScheme:
+    return TruncationScheme(below=e, dim=dim)
+
+
+def notrunc() -> TruncationScheme:
+    return TruncationScheme()
+
+
+def svd_truncated(M, Dmax: int, trunc: TruncationScheme = TruncationScheme()):
+    """SVD of M (m, n) truncated/padded to static width Dmax.
+
+    Returns (U (m, Dmax), S (Dmax,), Vh (Dmax, n), err) where the rank cut is
+    expressed by zeros in S (and corresponding zero columns/rows in U/Vh so
+    downstream contractions stay exact). `err` is the 2-norm truncation error
+    sqrt(sum of discarded S^2) / norm.
+    """
+    U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
+    k = S.shape[0]
+
+    # static width: slice or pad to Dmax
+    if k >= Dmax:
+        U_t, S_t, Vh_t = U[:, :Dmax], S[:Dmax], Vh[:Dmax, :]
+        discarded_sq = jnp.sum(S[Dmax:] ** 2)
+    else:
+        U_t = jnp.pad(U, ((0, 0), (0, Dmax - k)))
+        S_t = jnp.pad(S, (0, Dmax - k))
+        Vh_t = jnp.pad(Vh, ((0, Dmax - k), (0, 0)))
+        discarded_sq = jnp.zeros((), S.dtype)
+
+    # dynamic masking according to the truncation scheme
+    keep = jnp.ones((Dmax,), bool)
+    if trunc.dim is not None and trunc.dim < Dmax:
+        keep = keep & (jnp.arange(Dmax) < trunc.dim)
+    if trunc.below is not None:
+        keep = keep & (S_t > trunc.below)
+    if trunc.err is not None:
+        # discard the smallest values while the cumulative discarded weight
+        # stays below err^2 * total
+        total = jnp.sum(S_t**2) + discarded_sq
+        # tail[i] = sum_{j >= i} S[j]^2  (computed on the sorted-descending S)
+        tail = jnp.cumsum((S_t**2)[::-1])[::-1]
+        keep = keep & ((tail + discarded_sq) > (trunc.err**2) * total)
+
+    maskf = keep.astype(S_t.dtype)
+    S_m = S_t * maskf
+    U_m = U_t * maskf[None, :].astype(U_t.dtype)
+    Vh_m = Vh_t * maskf[:, None].astype(Vh_t.dtype)
+
+    total = jnp.sum(S_t**2) + discarded_sq
+    disc = discarded_sq + jnp.sum((S_t * (1.0 - maskf)) ** 2)
+    err = jnp.sqrt(jnp.maximum(disc, 0.0) / jnp.maximum(total, 1e-300))
+    return U_m, S_m, Vh_m, err
+
+
+# ----------------------------------------------------------------------------
+# misc small helpers
+# ----------------------------------------------------------------------------
+
+def isometry(m: int, n: int, dtype=jnp.complex128):
+    """(m, n) isometry embedding C^n into C^m (n <= m), cf. TensorKit
+    `isomorphism`/`isometry` usage in reference
+    src/operators/sparsempo/sparsempo.jl:237-243."""
+    return jnp.eye(m, n, dtype=dtype)
+
+
+def safe_xlogx(x):
+    """x * log(x) with 0 log 0 = 0 (reference src/utility/utility.jl:139-142)."""
+    return jnp.where(x > 0, x * jnp.log(jnp.where(x > 0, x, 1.0)), 0.0)
