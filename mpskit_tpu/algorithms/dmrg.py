@@ -1,0 +1,148 @@
+"""One-site DMRG (reference src/algorithms/groundstate/dmrg.jl:22-55).
+
+TPU-native design: a full left-right/right-left sweep is ONE jit-compiled
+function whose site loop is a `lax.scan` with uniform (D, d, D) shapes; the
+per-site eigensolve is the on-device restarted Lanczos; environments are
+carried through the scan (never stale, no cache invalidation — cf. the
+reference's orthoview/FinEnv mutation protocol it replaces).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Defaults, VERBOSE_CONV, VERBOSE_ITER
+from ..linalg.lanczos import eigsh_smallest
+from ..states.finitemps import FiniteMPS
+from ..tensors.ops import leftorth, rightorth
+from ..transfermatrix.transfer import transfer_left_mpo, transfer_right_mpo
+from ..environments.finite import (
+    left_boundary, right_boundary, compute_right_envs, stack_W, FiniteEnv,
+    compute_left_envs,
+)
+from ..utils.logging import IterLog
+from ..utils.dynamictols import updatetol
+from .derivatives import ac_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class DMRG:
+    """One-site DMRG parameters (reference dmrg.jl:14-20)."""
+
+    tol: float = 1e-10
+    maxiter: int = Defaults.maxiter
+    krylovdim: int = Defaults.krylovdim
+    eig_maxrestarts: int = 10
+    verbosity: int = Defaults.verbosity
+    finalize: Optional[Callable] = None
+
+
+def _galerkin_left(AL, y):
+    """||(1 - AL AL^dag) y|| after a left-orthogonal split."""
+    z = jnp.einsum("lpm,lpr->mr", AL.conj(), y)
+    y_perp = y - jnp.einsum("lpm,mr->lpr", AL, z)
+    return jnp.linalg.norm(y_perp)
+
+
+def _galerkin_right(AR, y):
+    z = jnp.einsum("mpr,lpr->lm", AR.conj(), y)
+    y_perp = y - jnp.einsum("lm,mpr->lpr", z, AR)
+    return jnp.linalg.norm(y_perp)
+
+
+@partial(jax.jit, static_argnums=(6, 7))
+def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int):
+    """One full DMRG sweep (L2R over sites 0..L-2, R2L over L-1..1),
+    starting and ending with center = 0. Returns updated tensors, fresh
+    right environments, the last eigenvalue and the max Galerkin residual."""
+    L, D = ALs.shape[0], ALs.shape[1]
+    w = Ws.shape[1]
+    dtype = AC.dtype
+    GL0 = left_boundary(w, D, dtype)
+    GRL = right_boundary(w, D, dtype)
+
+    # ---- left-to-right: solve sites 0..L-2 ----
+    def stepL(carry, xs):
+        AC, GL = carry
+        W, AR_next, GR_next = xs
+        res = eigsh_smallest(
+            lambda x: ac_apply(GL, W, GR_next, x), AC, m, restarts, inner_tol)
+        ACp = res.eigenvector
+        AL, C = leftorth(ACp)
+        eps = _galerkin_left(AL, ac_apply(GL, W, GR_next, ACp))
+        GL_next = transfer_left_mpo(GL, W, AL, AL)
+        AC_next = jnp.einsum("lm,mpr->lpr", C, AR_next)
+        return (AC_next, GL_next), (AL, GL, res.eigenvalue, eps)
+
+    xsL = (Ws[: L - 1], ARs[1:], GRs[1:L])
+    (AC, GL_last), (ALs_new, GLs_scan, lamsL, epsL) = jax.lax.scan(
+        stepL, (AC, GL0), xsL)
+    ALs = ALs.at[: L - 1].set(ALs_new)
+    # GLs[i] for i = 0..L-2 are in GLs_scan; GLs[L-1] is GL_last
+    GLs = jnp.concatenate([GLs_scan, GL_last[None]], axis=0)  # (L, w, D, D)
+
+    # ---- right-to-left: solve sites L-1..1 ----
+    def stepR(carry, xs):
+        AC, GR = carry
+        W, AL_prev, GL_i = xs
+        res = eigsh_smallest(
+            lambda x: ac_apply(GL_i, W, GR, x), AC, m, restarts, inner_tol)
+        ACp = res.eigenvector
+        C, AR = rightorth(ACp)
+        eps = _galerkin_right(AR, ac_apply(GL_i, W, GR, ACp))
+        GR_prev = transfer_right_mpo(GR, W, AR, AR)
+        AC_prev = jnp.einsum("lpm,mr->lpr", AL_prev, C)
+        return (AC_prev, GR_prev), (AR, GR, res.eigenvalue, eps)
+
+    xsR = (Ws[1:], ALs[: L - 1], GLs[1:])
+    (AC, GR_last), (ARs_new, GRs_scan, lamsR, epsR) = jax.lax.scan(
+        stepR, (AC, GRL), xsR, reverse=True)
+    ARs = ARs.at[1:].set(ARs_new)
+    # fresh right envs for the next sweep: GRs_new[1] = final carry,
+    # GRs_new[j+2] = scan output j (j = 0..L-2); GRs_new[0] unused
+    GRs = jnp.concatenate([GR_last[None], GR_last[None], GRs_scan], axis=0)
+
+    lam = lamsR[0]  # eigenvalue at site 1 (last solved)
+    eps = jnp.maximum(jnp.max(epsL), jnp.max(epsR))
+    return ALs, ARs, AC, GRs, lam, eps
+
+
+def find_groundstate_dmrg(psi: FiniteMPS, H, alg: DMRG = DMRG()):
+    """Run one-site DMRG. Returns (psi, envs, epsilon)."""
+    L, D = psi.length, psi.D
+    psi = psi.move_center(0)
+    Ws = stack_W(H, L)
+    w = Ws.shape[1]
+    GRs = compute_right_envs(psi.ARs, Ws, right_boundary(w, D, psi.dtype))
+
+    log = IterLog("DMRG", alg.verbosity)
+    log.init()
+    ALs, ARs, AC = psi.ALs, psi.ARs, psi.AC
+    eps = 1.0
+    lam = jnp.zeros((), jnp.zeros((), psi.dtype).real.dtype)
+    it = 0
+    for it in range(1, alg.maxiter + 1):
+        inner_tol = updatetol(eps, it)
+        ALs, ARs, AC, GRs, lam, eps = _dmrg_sweep(
+            ALs, ARs, AC, Ws, GRs, inner_tol,
+            alg.krylovdim, alg.eig_maxrestarts)
+        psi = FiniteMPS(ALs, ARs, AC, 0)
+        if alg.finalize is not None:
+            psi = alg.finalize(it, psi, H) or psi
+            ALs, ARs, AC = psi.ALs, psi.ARs, psi.AC
+        eps = float(eps)
+        if alg.verbosity >= VERBOSE_ITER:
+            log.conv(it, float(jnp.real(lam)), eps)
+        if eps < alg.tol:
+            break
+    else:
+        log.cancel(it, float(jnp.real(lam)), eps)
+
+    GLs = compute_left_envs(ALs, Ws, left_boundary(w, D, psi.dtype))
+    envs = FiniteEnv(GLs, GRs)
+    return psi, envs, eps

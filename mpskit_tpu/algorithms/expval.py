@@ -1,0 +1,79 @@
+"""Expectation values (reference src/algorithms/expval.jl).
+
+Dispatches over (state, operator) pairs. For finite states the value is
+<psi|O|psi> / <psi|psi>; for infinite states the energy *density* per site,
+matching the reference's conventions.
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..states.finitemps import FiniteMPS
+from ..operators.mpo import MPOHamiltonian, DenseMPO
+from ..operators.lazysum import LazySum, MultipliedOperator
+from ..environments.finite import (
+    finite_environments, stack_W, left_boundary, right_boundary,
+    compute_left_envs,
+)
+from ..transfermatrix.transfer import transfer_left
+from .derivatives import ac_apply
+
+
+def _expval_finite_mpoham(psi: FiniteMPS, H: MPOHamiltonian, envs=None):
+    if envs is None:
+        envs = finite_environments(psi, H)
+    c = psi.center
+    W = stack_W(H, psi.length)[c]
+    num = jnp.vdot(psi.AC, ac_apply(envs.leftenv(c), W, envs.rightenv(c), psi.AC))
+    den = jnp.vdot(psi.AC, psi.AC)
+    return jnp.real(num / den)
+
+
+def _expval_finite_local(psi: FiniteMPS, O, site: int):
+    """Single-site operator O (d, d) at `site`."""
+    p = psi.move_center(site)
+    num = jnp.einsum("lsr,st,ltr->", p.AC.conj(), jnp.asarray(O, p.dtype), p.AC)
+    den = jnp.vdot(p.AC, p.AC)
+    return num / den
+
+
+def expectation_value(psi, O, *args, envs=None):
+    """expectation_value(psi, H) for MPO Hamiltonians;
+    expectation_value(psi, (site, O)) for a local operator at a site;
+    expectation_value(psi, O_dense_mpo) for transfer MPOs."""
+    if isinstance(O, LazySum):
+        return sum(expectation_value(psi, o, envs=None) for o in O)
+    if isinstance(O, MultipliedOperator):
+        t = args[0] if args else 0.0
+        return O.coeff(t) * expectation_value(psi, O.op)
+
+    if isinstance(psi, FiniteMPS):
+        if isinstance(O, MPOHamiltonian):
+            return _expval_finite_mpoham(psi, O, envs)
+        if isinstance(O, tuple) and len(O) == 2:
+            site, op = O
+            return _expval_finite_local(psi, op, site)
+        raise TypeError(f"unsupported operator type {type(O)} for FiniteMPS")
+
+    from ..states.infinitemps import InfiniteMPS
+
+    if isinstance(psi, InfiniteMPS):
+        from .expval_infinite import (
+            expval_infinite_mpoham, expval_infinite_densempo,
+            expval_infinite_local,
+        )
+        if isinstance(O, MPOHamiltonian):
+            return expval_infinite_mpoham(psi, O, envs)
+        if isinstance(O, DenseMPO):
+            return expval_infinite_densempo(psi, O, envs)
+        if isinstance(O, tuple) and len(O) == 2:
+            site, op = O
+            return expval_infinite_local(psi, op, site)
+        raise TypeError(f"unsupported operator type {type(O)} for InfiniteMPS")
+
+    raise TypeError(f"unsupported state type {type(psi)}")

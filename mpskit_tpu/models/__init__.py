@@ -1,0 +1,8 @@
+from .spins import pauli, spinmatrices
+from .hamiltonians import (
+    transverse_field_ising,
+    heisenberg_XXX,
+    heisenberg_XXZ,
+    bilinear_biquadratic_model,
+)
+from .statmech import classical_ising, finite_classical_ising, sixvertex

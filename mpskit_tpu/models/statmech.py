@@ -1,0 +1,82 @@
+"""2D classical statistical-mechanics transfer MPOs, matching the
+reference's fixtures (reference test/setup.jl:78-130).
+
+Leg bookkeeping: the reference's MPOTensor has codomain (left-virtual,
+phys-out) and domain (phys-in, right-virtual), i.e. array order
+(left, out, in, right) after conversion. Our DenseMPO convention is
+``O[a, b, s, t] = [left, right, out, in]`` — a (0, 3, 1, 2) transpose.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..operators.mpo import DenseMPO
+
+
+def ising_bond_tensor(beta: float) -> np.ndarray:
+    """Symmetric square root of the bond Boltzmann matrix
+    (reference test/setup.jl:78-83)."""
+    t = np.array([[np.exp(beta), np.exp(-beta)],
+                  [np.exp(-beta), np.exp(beta)]])
+    evals, evecs = np.linalg.eigh(t)
+    return evecs @ np.diag(np.sqrt(evals)) @ evecs.T
+
+
+def classical_ising(beta: float = None, dtype=np.complex128) -> DenseMPO:
+    """Bulk transfer-matrix MPO of the 2D classical Ising model, at the
+    critical temperature by default (reference test/setup.jl:85-103)."""
+    if beta is None:
+        beta = np.log(1 + np.sqrt(2)) / 2
+    nt = ising_bond_tensor(beta)
+    O = np.zeros((2, 2, 2, 2))
+    O[0, 0, 0, 0] = 1
+    O[1, 1, 1, 1] = 1
+    # legs (left, out, in, right); fully symmetric for this model
+    o = np.einsum("ijkl,ai,bj,sk,tl->abst", O, nt, nt, nt, nt)
+    return DenseMPO.from_array(o.transpose(0, 3, 1, 2).astype(dtype))
+
+
+def finite_classical_ising(N: int, beta: float = None,
+                           dtype=np.complex128) -> DenseMPO:
+    """Finite-row transfer MPO with size-1 boundary virtual legs
+    (reference test/setup.jl:105-122)."""
+    if beta is None:
+        beta = np.log(1 + np.sqrt(2)) / 2
+    nt = ising_bond_tensor(beta)
+
+    O = np.zeros((2, 2, 2, 2))
+    O[0, 0, 0, 0] = 1
+    O[1, 1, 1, 1] = 1
+    obulk = np.einsum("ijkl,ai,bj,sk,tl->abst", O, nt, nt, nt, nt)
+
+    OL = np.zeros((1, 2, 2, 2))
+    OL[0, 0, 0, 0] = 1
+    OL[0, 1, 1, 1] = 1
+    # (left=1, out, in, right); only the non-boundary legs get nt factors
+    oleft = np.einsum("ixyz,bx,sy,tz->ibst", OL, nt, nt, nt)
+
+    OR = np.zeros((2, 2, 2, 1))
+    OR[0, 0, 0, 0] = 1
+    OR[1, 1, 1, 0] = 1
+    oright = np.einsum("xyzr,ax,by,cz->abcr", OR, nt, nt, nt)
+
+    tensors = [oleft] + [obulk] * (N - 2) + [oright]
+    return DenseMPO(tuple(
+        jnp.asarray(np.ascontiguousarray(t.transpose(0, 3, 1, 2)).astype(dtype))
+        for t in tensors
+    ))
+
+
+def sixvertex(a: float = 1.0, b: float = 1.0, c: float = 1.0,
+              dtype=np.complex128) -> DenseMPO:
+    """Six-vertex model R-matrix transfer MPO (reference
+    test/setup.jl:124-130). The reference permutes ((1,2),(4,3)): with raw
+    legs (1,2,3,4), the MPO legs are left=1, out=2, in=4, right=3 — in our
+    [left, right, out, in] order that is a (0, 2, 1, 3) transpose."""
+    d = np.array([[a, 0, 0, 0],
+                  [0, c, b, 0],
+                  [0, b, c, 0],
+                  [0, 0, 0, a]], dtype).reshape(2, 2, 2, 2)
+    return DenseMPO.from_array(d.transpose(0, 2, 1, 3).astype(dtype))

@@ -1,0 +1,171 @@
+"""Finite matrix product states.
+
+TPU-native redesign of the reference's `FiniteMPS`
+(reference src/states/finitemps.jl): instead of four lazily-materialized
+vectors of per-site tensors with `Union{Missing, T}` entries and mutable
+gauge views (reference src/states/orthoview.jl), the state is an immutable
+pytree of three *uniform-shape stacked arrays* plus a center index:
+
+- ``ALs (L, D, d, D)``: left-orthonormal tensors, valid for sites < center
+- ``ARs (L, D, d, D)``: right-orthonormal tensors, valid for sites > center
+- ``AC (D, d, D)``: the center tensor
+
+All virtual bonds are padded to a single static D (physical ranks near the
+chain ends are smaller; the padding is exact zeros, which every algorithm
+preserves — Krylov solves stay in the supported block because the boundary
+environments are rank-1). Uniform shapes make sweeps `lax.scan`s and let the
+bond dimension shard over a device mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..tensors.ops import leftorth, rightorth
+from ..utils.tree import tree_randn_like
+
+
+def physical_bond_dims(L: int, d: int, D: int) -> np.ndarray:
+    """Maximal physical rank of bond i (left of site i), i = 0..L."""
+    dims = [min(d**i, d ** (L - i), D) for i in range(L + 1)]
+    return np.array(dims)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class FiniteMPS:
+    ALs: jnp.ndarray  # (L, D, d, D)
+    ARs: jnp.ndarray  # (L, D, d, D)
+    AC: jnp.ndarray   # (D, d, D)
+    center: int       # static
+
+    def tree_flatten(self):
+        return (self.ALs, self.ARs, self.AC), (self.center,)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], aux[0])
+
+    # ------------------------------------------------------------------
+    @property
+    def length(self) -> int:
+        return self.ALs.shape[0]
+
+    def __len__(self) -> int:
+        return self.length
+
+    @property
+    def D(self) -> int:
+        return self.ALs.shape[1]
+
+    @property
+    def physicaldim(self) -> int:
+        return self.ALs.shape[2]
+
+    @property
+    def dtype(self):
+        return self.AC.dtype
+
+    # ------------------------------------------------------------------
+    @staticmethod
+    def from_tensors(As, normalize: bool = True) -> "FiniteMPS":
+        """Build a right-canonical FiniteMPS (center = 0) from raw stacked
+        site tensors As (L, D, d, D) whose padding is exact zeros."""
+        L = As.shape[0]
+
+        def body(carry, A):
+            # sweep right-to-left: A <- A @ C, then split C', AR
+            C_right = carry
+            A = jnp.einsum("lpm,mr->lpr", A, C_right)
+            C, AR = rightorth(A)
+            return C, AR
+
+        C0, ARs = jax.lax.scan(body, jnp.eye(As.shape[1], dtype=As.dtype),
+                               As, reverse=True)
+        AC = jnp.einsum("lm,mpr->lpr", C0, ARs[0])
+        if normalize:
+            AC = AC / jnp.maximum(jnp.linalg.norm(AC), 1e-300)
+        return FiniteMPS(jnp.zeros_like(ARs), ARs, AC, 0)
+
+    @staticmethod
+    def random(key, L: int, d: int, D: int, dtype=jnp.complex128) -> "FiniteMPS":
+        """Random finite MPS with exactly-zero padding outside the physical
+        bond ranks (cf. reference src/states/finitemps.jl:143-221 capping
+        virtual spaces at full rank)."""
+        dims = physical_bond_dims(L, d, D)
+        shape = (L, D, d, D)
+        if jnp.issubdtype(dtype, jnp.complexfloating):
+            rdt = jnp.zeros((), dtype).real.dtype
+            k1, k2 = jax.random.split(key)
+            As = (jax.random.normal(k1, shape, rdt)
+                  + 1j * jax.random.normal(k2, shape, rdt)).astype(dtype)
+        else:
+            As = jax.random.normal(key, shape, dtype)
+        # mask to physical ranks
+        mask = np.zeros(shape, bool)
+        for i in range(L):
+            mask[i, : dims[i], :, : dims[i + 1]] = True
+        As = As * jnp.asarray(mask)
+        return FiniteMPS.from_tensors(As)
+
+    # ------------------------------------------------------------------
+    def normalize(self) -> "FiniteMPS":
+        n = jnp.linalg.norm(self.AC)
+        return dataclasses.replace(self, AC=self.AC / jnp.maximum(n, 1e-300))
+
+    def norm(self):
+        return jnp.linalg.norm(self.AC)
+
+    def move_center(self, i: int) -> "FiniteMPS":
+        """Shift the orthogonality center to site i (host loop of QR steps,
+        the functional counterpart of the reference's lazy orthoview
+        gauge moves, src/states/orthoview.jl:49-79)."""
+        psi = self
+        while psi.center < i:
+            AL, C = leftorth(psi.AC)
+            ALs = psi.ALs.at[psi.center].set(AL)
+            ACn = jnp.einsum("lm,mpr->lpr", C, psi.ARs[psi.center + 1])
+            psi = FiniteMPS(ALs, psi.ARs, ACn, psi.center + 1)
+        while psi.center > i:
+            C, AR = rightorth(psi.AC)
+            ARs = psi.ARs.at[psi.center].set(AR)
+            ACn = jnp.einsum("lpm,mr->lpr", psi.ALs[psi.center - 1], C)
+            psi = FiniteMPS(psi.ALs, ARs, ACn, psi.center - 1)
+        return psi
+
+    def site_tensor(self, i: int) -> jnp.ndarray:
+        """The (gauge-dependent) tensor of site i: AL for i < center, AC at
+        the center, AR for i > center."""
+        if i < self.center:
+            return self.ALs[i]
+        if i > self.center:
+            return self.ARs[i]
+        return self.AC
+
+    def bond_matrix(self) -> jnp.ndarray:
+        """C to the right of the center site: AC = AL . C."""
+        _, C = leftorth(self.AC)
+        return C
+
+    def dot(self, other: "FiniteMPS"):
+        """<self | other> overlap (reference src/states/finitemps.jl:459)."""
+        a = self.move_center(0)
+        b = other.move_center(0)
+        Aa = a.ARs.at[0].set(a.AC)
+        Ab = b.ARs.at[0].set(b.AC)
+
+        def body(v, xs):
+            Ta, Tb = xs
+            v = jnp.einsum("xy,xsm,ysn->mn", v, Ta.conj(), Tb)
+            return v, None
+
+        v0 = jnp.eye(self.D, dtype=self.dtype)
+        # only the (0, 0) entry is physical on the left boundary
+        v0 = jnp.zeros((self.D, self.D), self.dtype).at[0, 0].set(1.0)
+        v, _ = jax.lax.scan(body, v0, (Aa, Ab))
+        return v[0, 0]
