@@ -1,0 +1,97 @@
+"""VUMPS ground-state search for infinite MPS
+(reference src/algorithms/groundstate/vumps.jl).
+
+TPU-native design: the per-site AC/C eigensolves — which the reference runs
+as one `Threads.@spawn` task per site (vumps.jl:39-49) — are a single
+`jax.vmap` over the stacked unit cell (identical static shapes), so every
+site's Lanczos iteration runs batched on the MXU. One VUMPS iteration
+(local solves + regauge + gauge fixing + environment recomputation) is one
+jit-compiled function.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Defaults, VERBOSE_ITER
+from ..linalg.lanczos import eigsh_smallest
+from ..states.infinitemps import InfiniteMPS
+from ..states.gauging import regauge_ACC
+from ..environments.infinite_ham import hamiltonian_environments, InfiniteHamEnv
+from ..utils.logging import IterLog
+from ..utils.dynamictols import updatetol
+from .derivatives import ac_apply, c_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class VUMPS:
+    tol: float = 1e-10
+    maxiter: int = Defaults.maxiter
+    krylovdim: int = Defaults.krylovdim
+    eig_maxrestarts: int = 4
+    gauge_tol: float = Defaults.tolgauge
+    verbosity: int = Defaults.verbosity
+    finalize: Optional[Callable] = None
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _vumps_iteration(psi: InfiniteMPS, H, m: int, restarts: int,
+                     gauge_tol: float, env_tol_static: float, inner_tol=1e-6):
+    """One VUMPS iteration: returns (psi', envs', eps)."""
+    L = psi.period
+    envs = hamiltonian_environments(psi, H, tol=env_tol_static)
+    Ws = jnp.stack([H.site(i) for i in range(L)]).astype(psi.dtype)
+
+    # batched local eigensolves over the unit cell (site-parallel, P1)
+    def solve_ac(GL, W, GR, AC):
+        res = eigsh_smallest(lambda x: ac_apply(GL, W, GR, x), AC,
+                             m, restarts, inner_tol)
+        return res.eigenvector
+
+    def solve_c(GL_next, GR, C):
+        res = eigsh_smallest(lambda x: c_apply(GL_next, GR, x), C,
+                             m, restarts, inner_tol)
+        return res.eigenvector
+
+    GL_next = jnp.roll(envs.GLs, -1, axis=0)  # GLs[i+1] for bond i
+    ACs = jax.vmap(solve_ac)(envs.GLs, Ws, envs.GRs, psi.AC)
+    Cs = jax.vmap(solve_c)(GL_next, envs.GRs, psi.C)
+
+    # regauge AC, C -> AL (reference vumps.jl:77-92 + ortho.jl:127-131)
+    ALs = jax.vmap(regauge_ACC)(ACs, Cs)
+
+    # convergence measure: |AC - AL C| per site
+    ALC = jnp.einsum("ilpm,imr->ilpr", ALs, Cs)
+    eps = jnp.max(jnp.linalg.norm((ACs - ALC).reshape(L, -1), axis=1))
+
+    psi_new = InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol)
+    return psi_new, eps
+
+
+def find_groundstate_vumps(psi: InfiniteMPS, H, alg: VUMPS = VUMPS()):
+    """Run VUMPS. Returns (psi, envs, eps)."""
+    log = IterLog("VUMPS", alg.verbosity)
+    eps = 1.0
+    it = 0
+    for it in range(1, alg.maxiter + 1):
+        inner_tol = updatetol(eps, it)
+        psi, eps = _vumps_iteration(
+            psi, H, alg.krylovdim, alg.eig_maxrestarts, alg.gauge_tol,
+            1e-12, inner_tol)
+        if alg.finalize is not None:
+            psi = alg.finalize(it, psi, H) or psi
+        eps = float(eps)
+        if alg.verbosity >= VERBOSE_ITER:
+            log.conv(it, 0.0, eps)
+        if eps < alg.tol:
+            break
+    else:
+        log.cancel(it, 0.0, eps)
+
+    envs = hamiltonian_environments(psi, H)
+    return psi, envs, eps

@@ -1,0 +1,238 @@
+"""Infinite Hamiltonian environments.
+
+Counterpart of the reference's `MPOHamInfEnv` (reference
+src/environments/mpohaminfenv.jl): left/right FSM-level fixed points of the
+unit-cell transfer operator. The FSM is walked level by level (a static
+host loop over the MPO's static structure metadata); identity diagonals are
+solved as regularized geometric series via GMRES, scalar/general diagonals
+via plain GMRES, zero diagonals by one accumulation pass around the cell
+(mpohaminfenv.jl:93-118 / 177-195).
+
+Conventions: GLs[i] = env left of site i, GRs[i] = env right of site i;
+pairing(v, cap) = einsum('xy,xy->'); caps from InfiniteMPS.rho_right/left.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..operators.mpo import (
+    MPOHamiltonian, DIAG_ZERO, DIAG_IDENTITY, DIAG_SCALAR, DIAG_GENERAL,
+)
+from ..states.infinitemps import InfiniteMPS
+from ..linalg.gmres import linsolve
+
+
+def pairing(v, cap):
+    return jnp.einsum("xy,xy->", v, cap)
+
+
+def transfer_left_block(v, Wab, A_ket, A_bra):
+    """Single FSM-block left transfer: v (D, D), Wab (d, d)."""
+    t = jnp.einsum("xy,ytn->xtn", v, A_ket)
+    t = jnp.einsum("xtn,st->xsn", t, Wab)
+    return jnp.einsum("xsm,xsn->mn", A_bra.conj(), t)
+
+
+def transfer_right_block(v, Wab, A_ket, A_bra):
+    t = jnp.einsum("ytn,mn->ytm", A_ket, v)
+    t = jnp.einsum("ytm,st->ysm", t, Wab)
+    return jnp.einsum("xsm,ysm->xy", A_bra.conj(), t)
+
+
+def _source_col_left(GL_i, Wcol, A):
+    """Contributions into one FSM level from all lower levels:
+    GL_i (w, D, D), Wcol (w, d, d) with the diagonal entry zeroed."""
+    t = jnp.einsum("axy,ytn->axtn", GL_i, A)
+    t = jnp.einsum("axtn,ast->xsn", t, Wcol)
+    return jnp.einsum("xsm,xsn->mn", A.conj(), t)
+
+
+def _source_row_right(GR_i, Wrow, A):
+    """Right-moving: contributions into one level from all higher levels:
+    GR_i (w, D, D), Wrow (w, d, d) (the b-index row W[i][a, :], diag zeroed)."""
+    t = jnp.einsum("ytn,bmn->bytm", A, GR_i)
+    t = jnp.einsum("bytm,bst->ysm", t, Wrow)
+    return jnp.einsum("xsm,ysm->xy", A.conj(), t)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class InfiniteHamEnv:
+    GLs: jnp.ndarray       # (L, w, D, D)
+    GRs: jnp.ndarray       # (L, w, D, D)
+    e_density: jnp.ndarray  # scalar, energy per site
+
+    def tree_flatten(self):
+        return (self.GLs, self.GRs, self.e_density), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    def leftenv(self, i):
+        return self.GLs[i]
+
+    def rightenv(self, i):
+        return self.GRs[i]
+
+
+def calc_lw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12, GL_init=None):
+    """Left environments in the AL gauge. Returns (GLs (L, w, D, D), e_cell)."""
+    L, D, d = psi.period, psi.D, psi.physicaldim
+    w = H.odim
+    AL = psi.AL
+    Ws = jnp.stack([H.site(i) for i in range(L)]).astype(psi.dtype)
+    dtype = psi.dtype
+
+    eye = jnp.eye(D, dtype=dtype)
+    GLs = jnp.zeros((L, w, D, D), dtype)
+    GLs = GLs.at[:, 0].set(eye)
+    cap = psi.rho_right(L - 1).astype(dtype)  # right cap at the cell boundary
+    e_cell = jnp.zeros((), dtype)
+
+    for b in range(1, w):
+        Wdiag = Ws[:, b, b]                       # (L, d, d)
+        Wcol = Ws[:, :, b].at[:, b].set(0.0)      # (L, w, d, d), diag zeroed
+
+        def cycle(x, with_diag=True, _Wdiag=Wdiag, _Wcol=Wcol, _b=b):
+            """One pass around the cell: x at bond 0 -> value at bond 0."""
+
+            def body(x, xs):
+                GL_i, Wd, Wc, A = xs
+                xn = _source_col_left(GL_i, Wc, A)
+                if with_diag:
+                    xn = xn + transfer_left_block(x, Wd, A, A)
+                return xn, xn
+
+            x_end, xs_all = jax.lax.scan(body, x, (GLs, _Wdiag, _Wcol, AL))
+            return x_end, xs_all
+
+        def diag_cycle(x, _Wdiag=Wdiag):
+            def body(x, xs):
+                Wd, A = xs
+                return transfer_left_block(x, Wd, A, A), None
+
+            x_end, _ = jax.lax.scan(body, x, (_Wdiag, AL))
+            return x_end
+
+        zero = jnp.zeros((D, D), dtype)
+        F, _ = cycle(zero)
+        kind = H.diag_class[b]
+        if kind == DIAG_ZERO:
+            x0 = F
+        elif kind == DIAG_IDENTITY:
+            # track the energy accumulated per cell before regularizing
+            if b == w - 1:
+                e_cell = pairing(F, cap)
+            F_reg = F - pairing(F, cap) * eye
+
+            def matvec_reg(x):
+                Tx = diag_cycle(x)
+                return Tx - pairing(Tx, cap) * eye
+
+            x0 = linsolve(matvec_reg, F_reg, a0=1.0, a1=-1.0, tol=tol)
+        else:  # DIAG_SCALAR / DIAG_GENERAL: spectral radius assumed < 1
+            x0 = linsolve(diag_cycle, F, a0=1.0, a1=-1.0, tol=tol)
+
+        # propagate around the cell to fill every bond
+        _, xs_all = cycle(x0)
+        # xs_all[i] = value at bond i+1; bond 0 value is x0 itself
+        GL_b = jnp.concatenate([x0[None], xs_all[:-1]], axis=0)
+        if kind == DIAG_IDENTITY:
+            # subtract the diverging identity component at *every* bond so
+            # per-site energy closings are well-defined (cf. reference
+            # regularize! applied along the cyclethrough)
+            caps = jnp.roll(psi.rho_rights().astype(dtype), 1, axis=0)
+            coeff = jnp.einsum("ixy,ixy->i", GL_b, caps)
+            GL_b = GL_b - coeff[:, None, None] * eye[None]
+        GLs = GLs.at[:, b].set(GL_b)
+
+    return GLs, e_cell
+
+
+def calc_rw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12):
+    """Right environments in the AR gauge. Returns (GRs (L, w, D, D), e_cell)."""
+    L, D, d = psi.period, psi.D, psi.physicaldim
+    w = H.odim
+    AR = psi.AR
+    Ws = jnp.stack([H.site(i) for i in range(L)]).astype(psi.dtype)
+    dtype = psi.dtype
+
+    eye = jnp.eye(D, dtype=dtype)
+    GRs = jnp.zeros((L, w, D, D), dtype)
+    GRs = GRs.at[:, w - 1].set(eye)
+    cap = psi.rho_left(L - 1).astype(dtype)  # left cap at the cell boundary
+    e_cell = jnp.zeros((), dtype)
+
+    for a in range(w - 2, -1, -1):
+        Wdiag = Ws[:, a, a]
+        Wrow = Ws[:, a, :].at[:, a].set(0.0)   # (L, w, d, d)
+
+        def cycle(x, with_diag=True, _Wdiag=Wdiag, _Wrow=Wrow):
+            """Reverse pass: x = GR at bond right of site L-1; go around."""
+
+            def body(x, xs):
+                GR_i, Wd, Wr, A = xs
+                xn = _source_row_right(GR_i, Wr, A)
+                if with_diag:
+                    xn = xn + transfer_right_block(x, Wd, A, A)
+                return xn, xn
+
+            x_end, xs_all = jax.lax.scan(body, x, (GRs, _Wdiag, _Wrow, AR),
+                                         reverse=True)
+            return x_end, xs_all
+
+        def diag_cycle(x, _Wdiag=Wdiag):
+            def body(x, xs):
+                Wd, A = xs
+                return transfer_right_block(x, Wd, A, A), None
+
+            x_end, _ = jax.lax.scan(body, x, (_Wdiag, AR), reverse=True)
+            return x_end
+
+        zero = jnp.zeros((D, D), dtype)
+        F, _ = cycle(zero)
+        kind = H.diag_class[a]
+        if kind == DIAG_ZERO:
+            x0 = F
+        elif kind == DIAG_IDENTITY:
+            if a == 0:
+                e_cell = pairing(F, cap)
+            F_reg = F - pairing(F, cap) * eye
+
+            def matvec_reg(x):
+                Tx = diag_cycle(x)
+                return Tx - pairing(Tx, cap) * eye
+
+            x0 = linsolve(matvec_reg, F_reg, a0=1.0, a1=-1.0, tol=tol)
+        else:
+            x0 = linsolve(diag_cycle, F, a0=1.0, a1=-1.0, tol=tol)
+
+        _, xs_all = cycle(x0)
+        # reverse scan: processing site i used GR at bond i (right of site i)
+        # and produced the value at bond i-1; ys[i] = value at bond i-1.
+        # GR_a[i] = value at bond right of site i = ys[i+1], GR_a[L-1] = x0.
+        GR_a = jnp.concatenate([xs_all[1:], x0[None]], axis=0)
+        if kind == DIAG_IDENTITY:
+            caps = psi.rho_lefts().astype(dtype)
+            coeff = jnp.einsum("ixy,ixy->i", GR_a, caps)
+            GR_a = GR_a - coeff[:, None, None] * eye[None]
+        GRs = GRs.at[:, a].set(GR_a)
+
+    return GRs, e_cell
+
+
+def hamiltonian_environments(psi: InfiniteMPS, H: MPOHamiltonian,
+                             tol=1e-12) -> InfiniteHamEnv:
+    """Compute both environment families. The `GRs[i]`/`GLs[i]` convention:
+    the effective Hamiltonian at site i uses (GLs[i], GRs[i]); the zero-site
+    (bond i) derivative uses (GLs[i+1], GRs[i])."""
+    GLs, eL = calc_lw(psi, H, tol)
+    GRs, eR = calc_rw(psi, H, tol)
+    e = jnp.real(eL) / psi.period
+    return InfiniteHamEnv(GLs, GRs, e)

@@ -1,0 +1,160 @@
+"""Uniform gauging of infinite MPS.
+
+The counterpart of the reference's `gaugefix!`/`uniform_leftorth!`/
+`uniform_rightorth!` fixed-point iteration (reference src/states/ortho.jl:
+143-257): alternating Arnoldi-accelerated transfer-matrix eigensolves and
+QR sweeps through the unit cell — here as one jit-compiled `lax.while_loop`
+whose QR sweep is a `lax.scan` over the stacked unit cell.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Defaults
+from ..tensors.ops import qr_pos, lq_pos, leftorth, rightorth
+from ..transfermatrix.transfer import transfer_left, transfer_right
+from ..linalg.arnoldi import dominant_eigs
+
+
+def _left_qr_sweep(A, C_end):
+    """One QR sweep: C[i-1] A[i] = AL[i] C[i], normalized per site."""
+
+    def body(C, Ai):
+        CA = jnp.einsum("lm,mpr->lpr", C, Ai)
+        AL, Cn = leftorth(CA)
+        Cn = Cn / jnp.maximum(jnp.linalg.norm(Cn), 1e-300)
+        return Cn, (AL, Cn)
+
+    C_end, (ALs, Cs) = jax.lax.scan(body, C_end, A)
+    return ALs, Cs, C_end
+
+
+def _right_lq_sweep(A, C_end):
+    """One LQ sweep (right-to-left): A[i] C[i] = C[i-1] AR[i]."""
+
+    def body(C, Ai):
+        AC = jnp.einsum("lpm,mr->lpr", Ai, C)
+        Cn, AR = rightorth(AC)
+        Cn = Cn / jnp.maximum(jnp.linalg.norm(Cn), 1e-300)
+        return Cn, (AR, Cn)
+
+    # scan in reverse: carry C[i] -> produce C[i-1]; ys[i] = (AR[i], C[i-1])
+    C_end2, (ARs, Cs_prev) = jax.lax.scan(body, C_end, A, reverse=True)
+    # Cs_prev[i] = C[i-1]; reassemble C[i] = Cs_prev[i+1], C[L-1] = C_end2
+    Cs = jnp.concatenate([Cs_prev[1:], C_end2[None]], axis=0)
+    return ARs, Cs, C_end2
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def uniform_leftorth(A, C0, tol: float = Defaults.tolgauge,
+                     maxiter: int = Defaults.gauge_maxiter,
+                     eig_miniter: int = Defaults.eig_miniter):
+    """Find (AL, C) with C[i-1] A[i] ∝ AL[i] C[i], AL left-isometric."""
+    C0 = C0 / jnp.maximum(jnp.linalg.norm(C0), 1e-300)
+    ALs, Cs, C_end = _left_qr_sweep(A, C0)
+
+    def cond(state):
+        _, _, _, err, it = state
+        return jnp.logical_and(it < maxiter, err > tol)
+
+    def body(state):
+        ALs, Cs, C_end, err, it = state
+
+        def accel(C_end):
+            mv_cell = _mixed_cell_transfer_left(A, ALs)
+            res = dominant_eigs(mv_cell, C_end, 20, 1,
+                                jnp.maximum(err * err, 1e-15))
+            _, R = qr_pos(res.eigenvector)
+            return R / jnp.maximum(jnp.linalg.norm(R), 1e-300)
+
+        C_eig = jax.lax.cond(it >= eig_miniter, accel, lambda C: C, C_end)
+        ALs, Cs, C_end = _left_qr_sweep(A, C_eig)
+        err = jnp.linalg.norm(C_end - C_eig)
+        return ALs, Cs, C_end, err, it + 1
+
+    rdt = jnp.zeros((), A.dtype).real.dtype
+    state = (ALs, Cs, C_end, jnp.array(jnp.inf, rdt), jnp.zeros((), jnp.int32))
+    ALs, Cs, C_end, err, it = jax.lax.while_loop(cond, body, state)
+    return ALs, Cs, err
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def uniform_rightorth(A, C0, tol: float = Defaults.tolgauge,
+                      maxiter: int = Defaults.gauge_maxiter,
+                      eig_miniter: int = Defaults.eig_miniter):
+    """Find (AR, C) with A[i] C[i] ∝ C[i-1] AR[i], AR right-isometric."""
+    C0 = C0 / jnp.maximum(jnp.linalg.norm(C0), 1e-300)
+    ARs, Cs, C_end = _right_lq_sweep(A, C0)
+
+    def cond(state):
+        _, _, _, err, it = state
+        return jnp.logical_and(it < maxiter, err > tol)
+
+    def body(state):
+        ARs, Cs, C_end, err, it = state
+
+        def accel(C_end):
+            # the mixed right-transfer fixed point is C^T (bra index pairs
+            # with AR's left bond), so seed and read back transposed
+            mv_cell = _mixed_cell_transfer_right(A, ARs)
+            res = dominant_eigs(mv_cell, C_end.T, 20, 1,
+                                jnp.maximum(err * err, 1e-15))
+            L, _ = lq_pos(res.eigenvector.T)
+            return L / jnp.maximum(jnp.linalg.norm(L), 1e-300)
+
+        C_eig = jax.lax.cond(it >= eig_miniter, accel, lambda C: C, C_end)
+        ARs, Cs, C_end = _right_lq_sweep(A, C_eig)
+        err = jnp.linalg.norm(C_end - C_eig)
+        return ARs, Cs, C_end, err, it + 1
+
+    rdt = jnp.zeros((), A.dtype).real.dtype
+    state = (ARs, Cs, C_end, jnp.array(jnp.inf, rdt), jnp.zeros((), jnp.int32))
+    ARs, Cs, C_end, err, it = jax.lax.while_loop(cond, body, state)
+    return ARs, Cs, err
+
+
+def _mixed_cell_transfer_left(A_ket, A_bra):
+    def mv(v):
+        def body(v, xs):
+            Ak, Ab = xs
+            return transfer_left(v, Ak, Ab), None
+
+        v, _ = jax.lax.scan(body, v, (A_ket, A_bra))
+        return v
+
+    return mv
+
+
+def _mixed_cell_transfer_right(A_ket, A_bra):
+    def mv(v):
+        def body(v, xs):
+            Ak, Ab = xs
+            return transfer_right(v, Ak, Ab), None
+
+        v, _ = jax.lax.scan(body, v, (A_ket, A_bra), reverse=True)
+        return v
+
+    return mv
+
+
+def regauge_ACC(AC, C):
+    """min_AL ||AC - AL C||: AL = Q_AC Q_C^dag via QRpos of both
+    (reference src/states/ortho.jl:116-138)."""
+    D, d, _ = AC.shape
+    Q_AC, _ = qr_pos(AC.reshape(D * d, D))
+    Q_C, _ = qr_pos(C)
+    AL = (Q_AC @ Q_C.conj().T).reshape(D, d, D)
+    return AL
+
+
+def regauge_CAC(C, AC):
+    """min_AR ||AC - C AR||: mirror of regauge_ACC using LQpos."""
+    D, d, _ = AC.shape
+    _, Q_AC = lq_pos(AC.reshape(D, d * D))
+    _, Q_C = lq_pos(C)
+    AR = (Q_C.conj().T @ Q_AC).reshape(D, d, D)
+    return AR
