@@ -1,0 +1,76 @@
+"""Benchmark: one-site DMRG sweep time, finite TFIM at D=512
+(the driver-defined headline metric, see BASELINE.md).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is measured sweep time relative to an estimated 64-core CPU
+MPSKit.jl reference of 20 s/sweep for this workload (the reference
+publishes no numbers — see BASELINE.md; the estimate assumes ~1 TFLOP/s
+sustained complex128 GEMM throughput on 64 cores for the ~15 TFLOP of
+effective-Hamiltonian matvecs per sweep). vs_baseline > 1 means faster
+than the estimated reference.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+# benchmark configuration
+L = 32          # chain length
+D = 512         # bond dimension
+d = 2           # physical dimension
+G = 1.5         # TFIM field
+KRYLOVDIM = 16  # Lanczos dimension per site solve
+RESTARTS = 1
+DTYPE = jnp.float32  # MXU path; float64 available for 1e-8 parity runs
+
+CPU_REFERENCE_SWEEP_S = 20.0  # documented estimate, see module docstring
+
+
+def main():
+    from mpskit_tpu.models import transverse_field_ising
+    from mpskit_tpu.states import FiniteMPS
+    from mpskit_tpu.algorithms.dmrg import _dmrg_sweep
+    from mpskit_tpu.environments.finite import (
+        compute_right_envs, right_boundary, stack_W,
+    )
+    import numpy as np
+
+    dtype = DTYPE
+    H = transverse_field_ising(g=G, dtype=np.float64)
+    psi = FiniteMPS.random(jax.random.PRNGKey(0), L, d, D, dtype=dtype)
+    Ws = stack_W(H, L).astype(dtype)
+    w = Ws.shape[1]
+    GRs = compute_right_envs(psi.ARs, Ws, right_boundary(w, D, dtype))
+    inner_tol = jnp.asarray(1e-6, jnp.float32 if dtype == jnp.float32 else jnp.float64)
+
+    args = (psi.ALs, psi.ARs, psi.AC, Ws, GRs, inner_tol)
+
+    # warmup/compile + one sweep to settle state; a host readback forces a
+    # full device sync (block_until_ready does not block on the axon tunnel)
+    ALs, ARs, AC, GRs2, lam, eps = _dmrg_sweep(*args, KRYLOVDIM, RESTARTS)
+    _ = float(jnp.real(lam))
+
+    # timed sweeps from the warmed state
+    n_sweeps = 3
+    t0 = time.perf_counter()
+    for _ in range(n_sweeps):
+        ALs, ARs, AC, GRs2, lam, eps = _dmrg_sweep(
+            ALs, ARs, AC, Ws, GRs2, inner_tol, KRYLOVDIM, RESTARTS)
+    _ = float(jnp.real(lam))
+    dt = (time.perf_counter() - t0) / n_sweeps
+
+    print(json.dumps({
+        "metric": f"dmrg_sweep_time_tfim_L{L}_D{D}_{jnp.dtype(DTYPE).name}",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": round(CPU_REFERENCE_SWEEP_S / dt, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

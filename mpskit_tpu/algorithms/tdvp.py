@@ -1,0 +1,282 @@
+"""TDVP time evolution (reference src/algorithms/timestep/tdvp.jl).
+
+Infinite: per-site Krylov exponentiation of AC and C (the reference's
+@spawn-per-site becomes one vmap over the unit cell), then regauge.
+Finite: second-order symmetric left-right / right-left sweep with backward
+C evolution, as one jitted scan pair per half step.
+
+The integrator is Krylov `exp(-i dt H_eff)` at the midpoint time
+(reference src/algorithms/timestep/integrators.jl:20-25).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Defaults
+from ..linalg.expm import expm_multiply
+from ..states.finitemps import FiniteMPS
+from ..states.infinitemps import InfiniteMPS
+from ..states.gauging import regauge_ACC
+from ..tensors.ops import leftorth, rightorth
+from ..transfermatrix.transfer import transfer_left_mpo, transfer_right_mpo
+from ..environments.finite import (
+    left_boundary, right_boundary, compute_right_envs, compute_left_envs,
+    stack_W, FiniteEnv,
+)
+from ..environments.infinite_ham import hamiltonian_environments
+from .derivatives import ac_apply, c_apply, ac2_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class TDVP:
+    expalg_m: int = 30
+    gauge_tol: float = Defaults.tolgauge
+    env_tol: float = 1e-12
+    verbosity: int = Defaults.verbosity
+    finalize: Optional[Callable] = None
+
+
+@dataclasses.dataclass(frozen=True)
+class TDVP2:
+    expalg_m: int = 30
+    trscheme: object = None
+    verbosity: int = Defaults.verbosity
+    finalize: Optional[Callable] = None
+
+
+# ----------------------------------------------------------------------------
+# infinite TDVP (reference tdvp.jl:21-59)
+# ----------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(3, 4, 5))
+def _timestep_infinite(psi: InfiniteMPS, H, dt, m: int, gauge_tol: float,
+                       env_tol: float):
+    L = psi.period
+    envs = hamiltonian_environments(psi, H, tol=env_tol)
+    Ws = jnp.stack([H.site(i) for i in range(L)]).astype(psi.dtype)
+    tau = -1j * dt
+
+    def evolve_ac(GL, W, GR, AC):
+        return expm_multiply(lambda x: ac_apply(GL, W, GR, x), AC, tau, m)
+
+    def evolve_c(GL_next, GR, C):
+        return expm_multiply(lambda x: c_apply(GL_next, GR, x), C, tau, m)
+
+    GL_next = jnp.roll(envs.GLs, -1, axis=0)
+    ACs = jax.vmap(evolve_ac)(envs.GLs, Ws, envs.GRs, psi.AC)
+    Cs = jax.vmap(evolve_c)(GL_next, envs.GRs, psi.C)
+    ACs = ACs / jnp.linalg.norm(ACs.reshape(L, -1), axis=1)[:, None, None, None]
+    Cs = Cs / jnp.linalg.norm(Cs.reshape(L, -1), axis=1)[:, None, None]
+
+    ALs = jax.vmap(regauge_ACC)(ACs, Cs)
+    return InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol)
+
+
+# ----------------------------------------------------------------------------
+# finite TDVP (reference tdvp.jl:61-91)
+# ----------------------------------------------------------------------------
+
+@partial(jax.jit, static_argnums=(5,))
+def _timestep_finite(ALs, ARs, AC, Ws, GRs, m: int, dt=0.01):
+    """Symmetric second-order sweep: every site evolved forward by dt/2 in
+    each direction with backward bond evolution in between. Starts and ends
+    with center = 0."""
+    L, D = ALs.shape[0], ALs.shape[1]
+    w = Ws.shape[1]
+    dtype = AC.dtype
+    GL0 = left_boundary(w, D, dtype)
+    GRL = right_boundary(w, D, dtype)
+    tau = -1j * (dt / 2)
+
+    def stepL(carry, xs):
+        AC, GL = carry
+        W, AR_next, GR_next, is_last = xs
+        AC = expm_multiply(lambda x: ac_apply(GL, W, GR_next, x), AC, tau, m)
+        AL, C = leftorth(AC)
+        GL_next = transfer_left_mpo(GL, W, AL, AL)
+        # backward-evolve the bond (skipped on the last site)
+        C = jax.lax.cond(
+            is_last,
+            lambda C: C,
+            lambda C: expm_multiply(
+                lambda x: c_apply(GL_next, GR_next, x), C, -tau, m),
+            C,
+        )
+        AC_next = jnp.einsum("lm,mpr->lpr", C, AR_next)
+        # on the last site keep AC = AL C as the carry (it is the final AC)
+        AC_last = jnp.einsum("lpm,mr->lpr", AL, C)
+        AC_next = jnp.where(is_last, AC_last, AC_next)
+        return (AC_next, GL_next), (AL, GL)
+
+    is_last = jnp.arange(L) == L - 1
+    # GR for site i is GRs[i+1] (GRs[L] is the boundary)
+    xsL = (Ws, jnp.roll(ARs, -1, axis=0), GRs[1:], is_last)
+    (AC, _), (ALs_n, GLs_scan) = jax.lax.scan(stepL, (AC, GL0), xsL)
+    ALs = ALs_n
+    GLs = GLs_scan  # GLs[i] = env left of site i
+
+    def stepR(carry, xs):
+        AC, GR = carry
+        W, AL_prev, GL_i, is_first = xs
+        AC = expm_multiply(lambda x: ac_apply(GL_i, W, GR, x), AC, tau, m)
+        C, AR = rightorth(AC)
+        GR_prev = transfer_right_mpo(GR, W, AR, AR)
+        C = jax.lax.cond(
+            is_first,
+            lambda C: C,
+            lambda C: expm_multiply(
+                lambda x: c_apply(GL_i, GR_prev, x), C, -tau, m),
+            C,
+        )
+        AC_prev = jnp.einsum("lpm,mr->lpr", AL_prev, C)
+        AC_first = jnp.einsum("lm,mpr->lpr", C, AR)
+        AC_prev = jnp.where(is_first, AC_first, AC_prev)
+        return (AC_prev, GR_prev), (AR, GR)
+
+    is_first = jnp.arange(L) == 0
+    xsR = (Ws, jnp.roll(ALs, 1, axis=0), GLs, is_first)
+    (AC, _), (ARs_n, GRs_scan) = jax.lax.scan(stepR, (AC, GRL), xsR,
+                                              reverse=True)
+    ARs = ARs.at[1:].set(ARs_n[1:])
+    # fresh right envs: ys[i] = GR right of site i; GRs_new[i] pairs site i-1
+    GRs_new = jnp.concatenate([GRs_scan[0][None], GRs_scan], axis=0)
+    return ALs, ARs, AC, GRs_new
+
+
+def timestep(psi, H, t, dt, alg=None, envs=None):
+    """Evolve psi by one time step dt (Hamiltonian evaluated at midpoint for
+    time-dependent operators). Returns (psi, envs)."""
+    from ..operators.lazysum import LazySum, MultipliedOperator
+
+    if isinstance(H, (LazySum, MultipliedOperator)):
+        H = _materialize(H, t + dt / 2)
+
+    if alg is None:
+        alg = TDVP()
+
+    if isinstance(psi, InfiniteMPS):
+        psi = _timestep_infinite(psi, H, dt, alg.expalg_m, alg.gauge_tol,
+                                 alg.env_tol)
+        return psi, None
+
+    if isinstance(psi, FiniteMPS):
+        if isinstance(alg, TDVP2):
+            return _timestep_finite2_entry(psi, H, dt, alg)
+        psi = psi.move_center(0)
+        L, D = psi.length, psi.D
+        Ws = stack_W(H, L).astype(psi.dtype)
+        wdim = Ws.shape[1]
+        GRs = compute_right_envs(psi.ARs, Ws, right_boundary(wdim, D, psi.dtype))
+        ALs, ARs, AC, GRs = _timestep_finite(
+            psi.ALs, psi.ARs, psi.AC, Ws, GRs, alg.expalg_m, dt=dt)
+        return FiniteMPS(ALs, ARs, AC, 0), None
+
+    raise TypeError(type(psi))
+
+
+def _materialize(H, t):
+    from ..operators.lazysum import LazySum, MultipliedOperator
+
+    if isinstance(H, MultipliedOperator):
+        return H.eval_at(t)
+    if isinstance(H, LazySum):
+        return H(t).sum_materialized()
+    return H
+
+
+# ----------------------------------------------------------------------------
+# finite TDVP2 (reference tdvp.jl:107-151)
+# ----------------------------------------------------------------------------
+
+def _timestep_finite2_entry(psi: FiniteMPS, H, dt, alg: TDVP2):
+    from ..tensors.ops import svd_truncated, notrunc
+
+    trscheme = alg.trscheme or notrunc()
+    psi = psi.move_center(0)
+    L, D = psi.length, psi.D
+    d = psi.physicaldim
+    Ws = stack_W(H, L).astype(psi.dtype)
+    wdim = Ws.shape[1]
+    GRs = compute_right_envs(psi.ARs, Ws, right_boundary(wdim, D, psi.dtype))
+    ALs, ARs, AC, GRs = _timestep_finite2(
+        psi.ALs, psi.ARs, psi.AC, Ws, GRs, alg.expalg_m, trscheme, dt=dt)
+    return FiniteMPS(ALs, ARs, AC, 0), None
+
+
+@partial(jax.jit, static_argnums=(5, 6))
+def _timestep_finite2(ALs, ARs, AC, Ws, GRs, m: int, trscheme, dt=0.01):
+    """Two-site TDVP: forward-evolve two-site blocks by dt/2, SVD-split with
+    truncation, backward-evolve the one-site remainder."""
+    from ..tensors.ops import svd_truncated
+
+    L, D, d = ALs.shape[0], ALs.shape[1], ALs.shape[2]
+    w = Ws.shape[1]
+    dtype = AC.dtype
+    GL0 = left_boundary(w, D, dtype)
+    GRL = right_boundary(w, D, dtype)
+    tau = -1j * (dt / 2)
+
+    def split2(theta):
+        U, S, Vh, _ = svd_truncated(theta.reshape(D * d, d * D), D, trscheme)
+        S = S / jnp.maximum(jnp.linalg.norm(S), 1e-300)
+        return U.reshape(D, d, D), S, Vh.reshape(D, d, D)
+
+    def stepL(carry, xs):
+        AC, GL = carry  # AC at site i
+        W1, W2, AR_next, GR_next2, is_last = xs
+        theta = jnp.einsum("lpm,mqr->lpqr", AC, AR_next)
+        theta = expm_multiply(
+            lambda x: ac2_apply(GL, W1, W2, GR_next2, x), theta, tau, m)
+        AL, S, AR = split2(theta)
+        GL_next = transfer_left_mpo(GL, W1, AL, AL)
+        AC_next = jnp.einsum("m,mqr->mqr", S, AR)
+        # backward one-site evolution of the new center (skip on last bond)
+        AC_next = jax.lax.cond(
+            is_last,
+            lambda x: x,
+            lambda x: expm_multiply(
+                lambda y: ac_apply(GL_next, W2, GR_next2, y), x, -tau, m),
+            AC_next,
+        )
+        return (AC_next, GL_next), (AL, GL)
+
+    # bond i = (i, i+1), i = 0..L-2; GR of site i+1 is GRs[i+2]
+    GR2 = jnp.concatenate([GRs[2:], GRL[None]], axis=0)  # (L-1 needed)
+    is_last = jnp.arange(L - 1) == L - 2
+    xsL = (Ws[:-1], Ws[1:], ARs[1:], GR2[: L - 1], is_last)
+    (AC, _), (ALs_n, GLs_scan) = jax.lax.scan(stepL, (AC, GL0), xsL)
+    ALs = ALs.at[: L - 1].set(ALs_n)
+    GLs = jnp.concatenate([GLs_scan, GLs_scan[-1][None]], axis=0)[:L]
+
+    def stepR(carry, xs):
+        AC, GR = carry  # AC at site i+1
+        W1, W2, AL_prev, GL_i, is_first = xs
+        theta = jnp.einsum("lpm,mqr->lpqr", AL_prev, AC)
+        theta = expm_multiply(
+            lambda x: ac2_apply(GL_i, W1, W2, GR, x), theta, tau, m)
+        AL, S, AR = split2(theta)
+        GR_prev = transfer_right_mpo(GR, W2, AR, AR)
+        AC_prev = jnp.einsum("lpm,m->lpm", AL, S)
+        AC_prev = jax.lax.cond(
+            is_first,
+            lambda x: x,
+            lambda x: expm_multiply(
+                lambda y: ac_apply(GL_i, W1, GR_prev, y), x, -tau, m),
+            AC_prev,
+        )
+        return (AC_prev, GR_prev), (AR, GR)
+
+    is_first = jnp.arange(L - 1) == 0
+    xsR = (Ws[:-1], Ws[1:], ALs[: L - 1], GLs[: L - 1], is_first)
+    (AC, _), (ARs_n, GRs_scan) = jax.lax.scan(stepR, (AC, GRL), xsR,
+                                              reverse=True)
+    ARs = ARs.at[1:].set(ARs_n)
+    GRs_new = jnp.concatenate(
+        [GRs_scan[0][None], GRs_scan[0][None], GRs_scan], axis=0)[: L + 1]
+    return ALs, ARs, AC, GRs_new
