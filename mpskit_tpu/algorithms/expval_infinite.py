@@ -46,7 +46,8 @@ def expval_infinite_densempo(psi: InfiniteMPS, O: DenseMPO, envs=None):
     """Leading-eigenvalue density of a transfer MPO: <psi|O|psi> per site,
     computed from the dominant mixed fixed points
     (reference src/operators/densempo.jl:89-97). Returns lambda^(1/L)."""
-    from ..environments.infinite_mpo import mpo_transfer_leading
+    from ..environments.infinite_mpo import mpo_environments
 
-    lam_cell = mpo_transfer_leading(psi, O)
-    return lam_cell ** (1.0 / psi.period)
+    if envs is None:
+        envs = mpo_environments(psi, O)
+    return envs.lambda_cell ** (1.0 / psi.period)

@@ -1,0 +1,140 @@
+"""Statistical-mechanics boundary algorithms: `leading_boundary` with VUMPS
+or VOMPS (reference src/algorithms/statmech/vumps.jl, vomps.jl).
+
+Finds the boundary MPS fixed point of a transfer MPO (2D partition
+function): per-site updates maximize the dominant eigenvalue, so the local
+solves are non-Hermitian Arnoldi (:LM) instead of Lanczos (:SR).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..config import Defaults, VERBOSE_ITER
+from ..linalg.arnoldi import dominant_eigs
+from ..states.infinitemps import InfiniteMPS
+from ..states.multiline import MPSMultiline
+from ..states.gauging import regauge_ACC
+from ..operators.mpo import DenseMPO
+from ..operators.multiline import MPOMultiline
+from ..environments.infinite_mpo import mpo_environments
+from ..utils.logging import IterLog
+from ..utils.dynamictols import updatetol
+from .derivatives import ac_apply, c_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class VUMPS_Boundary:
+    tol: float = 1e-10
+    maxiter: int = Defaults.maxiter
+    krylovdim: int = Defaults.krylovdim
+    gauge_tol: float = Defaults.tolgauge
+    verbosity: int = Defaults.verbosity
+
+
+@dataclasses.dataclass(frozen=True)
+class VOMPS:
+    """Power-method boundary update (reference statmech/vomps.jl:27-87)."""
+
+    tol: float = 1e-9
+    maxiter: int = 500
+    gauge_tol: float = Defaults.tolgauge
+    verbosity: int = Defaults.verbosity
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _boundary_vumps_iteration(psi: InfiniteMPS, Os, m: int, gauge_tol: float,
+                              env_tol: float, inner_tol=1e-6):
+    L = psi.period
+    O_mpo = DenseMPO(tuple(Os[i] for i in range(L)))
+    envs = mpo_environments(psi, O_mpo, tol=env_tol, krylovdim=m)
+    GL_next = jnp.roll(envs.GLs, -1, axis=0)
+
+    def solve_ac(GL, Oi, GR, AC):
+        res = dominant_eigs(lambda x: ac_apply(GL, Oi, GR, x), AC,
+                            m, 20, inner_tol)
+        return res.eigenvector
+
+    def solve_c(GLn, GR, C):
+        res = dominant_eigs(lambda x: c_apply(GLn, GR, x), C,
+                            m, 20, inner_tol)
+        return res.eigenvector
+
+    ACs = jax.vmap(solve_ac)(envs.GLs, Os, envs.GRs, psi.AC)
+    Cs = jax.vmap(solve_c)(GL_next, envs.GRs, psi.C)
+
+    ALs = jax.vmap(regauge_ACC)(ACs, Cs)
+    ALC = jnp.einsum("ilpm,imr->ilpr", ALs, Cs)
+    # remove the global phase per site before measuring convergence
+    phase = jnp.einsum("ilpr,ilpr->i", ALC.conj(), ACs)
+    phase = phase / jnp.maximum(jnp.abs(phase), 1e-300)
+    eps = jnp.max(jnp.linalg.norm(
+        (ACs - phase[:, None, None, None] * ALC).reshape(L, -1), axis=1))
+
+    psi_new = InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol)
+    return psi_new, eps
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _boundary_vomps_iteration(psi: InfiniteMPS, Os, gauge_tol: float,
+                              env_tol: float):
+    """One power-method step: single MPO application instead of an
+    eigensolve."""
+    L = psi.period
+    O_mpo = DenseMPO(tuple(Os[i] for i in range(L)))
+    envs = mpo_environments(psi, O_mpo, tol=env_tol)
+    GL_next = jnp.roll(envs.GLs, -1, axis=0)
+
+    ACs = jax.vmap(ac_apply)(envs.GLs, Os, envs.GRs, psi.AC)
+    Cs = jax.vmap(c_apply)(GL_next, envs.GRs, psi.C)
+    ACs = ACs / jnp.linalg.norm(ACs.reshape(L, -1), axis=1)[:, None, None, None]
+    Cs = Cs / jnp.linalg.norm(Cs.reshape(L, -1), axis=1)[:, None, None]
+
+    ALs = jax.vmap(regauge_ACC)(ACs, Cs)
+    ALC = jnp.einsum("ilpm,imr->ilpr", ALs, Cs)
+    phase = jnp.einsum("ilpr,ilpr->i", ALC.conj(), ACs)
+    phase = phase / jnp.maximum(jnp.abs(phase), 1e-300)
+    eps = jnp.max(jnp.linalg.norm(
+        (ACs - phase[:, None, None, None] * ALC).reshape(L, -1), axis=1))
+    psi_new = InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol)
+    return psi_new, eps
+
+
+def leading_boundary(psi, O, alg=None):
+    """Boundary fixed point of a transfer MPO. Accepts an InfiniteMPS with a
+    DenseMPO (or 1-row MPOMultiline). Returns (psi, envs, eps)."""
+    if alg is None:
+        alg = VUMPS_Boundary()
+    if isinstance(O, MPOMultiline):
+        assert O.nrows == 1, "multi-row boundaries not yet supported"
+        O = O.rows[0]
+    assert isinstance(psi, InfiniteMPS)
+    L = psi.period
+    assert O.period == L or O.period == 1
+    Os = jnp.stack([O.site(i) for i in range(L)]).astype(psi.dtype)
+
+    log = IterLog("leading_boundary", alg.verbosity)
+    eps = 1.0
+    for it in range(1, alg.maxiter + 1):
+        if isinstance(alg, VOMPS):
+            psi, eps = _boundary_vomps_iteration(
+                psi, Os, alg.gauge_tol, 1e-12)
+        else:
+            inner_tol = updatetol(eps, it)
+            psi, eps = _boundary_vumps_iteration(
+                psi, Os, alg.krylovdim, alg.gauge_tol, 1e-12, inner_tol)
+        eps = float(eps)
+        if alg.verbosity >= VERBOSE_ITER:
+            log.conv(it, 0.0, eps)
+        if eps < alg.tol:
+            break
+    else:
+        log.cancel(alg.maxiter, 0.0, eps)
+
+    envs = mpo_environments(psi, DenseMPO(tuple(Os[i] for i in range(L))))
+    return psi, envs, eps
