@@ -1,0 +1,201 @@
+"""Bond-dimension management (reference src/algorithms/changebonds/).
+
+Under the static-shape design, *cutting* is masking (zeroing Schmidt
+values in place, shapes unchanged) and *expanding* is a host-level
+re-padding of the stacked arrays to a larger static D, with the new
+directions seeded either randomly (`RandExpand`) or from the two-site
+derivative projected on the tangent null spaces (`OptimalExpand`,
+reference optimalexpand.jl:16-102).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..tensors.ops import (
+    svd_truncated, TruncationScheme, notrunc, truncdim, leftorth, rightorth,
+    leftnull, rightnull,
+)
+from ..states.finitemps import FiniteMPS
+from ..states.infinitemps import InfiniteMPS
+from ..environments.finite import (
+    finite_environments, stack_W,
+)
+from ..environments.infinite_ham import hamiltonian_environments
+from .derivatives import ac2_apply
+
+
+@dataclasses.dataclass(frozen=True)
+class SvdCut:
+    trscheme: TruncationScheme = dataclasses.field(default_factory=notrunc)
+
+
+@dataclasses.dataclass(frozen=True)
+class RandExpand:
+    """Expand every bond by `dims` extra directions (random seeds)."""
+
+    dims: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class OptimalExpand:
+    """Expand every bond by `dims` directions chosen from the dominant
+    singular vectors of the projected two-site derivative."""
+
+    dims: int = 8
+
+
+@dataclasses.dataclass(frozen=True)
+class VUMPSSvdCut:
+    trscheme: TruncationScheme = dataclasses.field(default_factory=notrunc)
+
+
+# ----------------------------------------------------------------------------
+# SvdCut
+# ----------------------------------------------------------------------------
+
+def _svdcut_finite(psi: FiniteMPS, alg: SvdCut) -> FiniteMPS:
+    """Sweep right-to-left truncating every bond (masked, static shapes)."""
+    psi = psi.move_center(psi.length - 1)
+    L, D = psi.length, psi.D
+    AC = psi.AC
+    ARs = psi.ARs
+    for i in range(psi.length - 1, 0, -1):
+        C, AR = rightorth(AC)
+        U, S, Vh, _ = svd_truncated(C, D, alg.trscheme)
+        S = S / jnp.maximum(jnp.linalg.norm(S), 1e-300)
+        AR_new = jnp.einsum("km,mpr->kpr", Vh, AR)
+        ARs = ARs.at[i].set(AR_new)
+        AC = jnp.einsum("lpm,mk,k->lpk", psi.ALs[i - 1], U,
+                        S.astype(U.dtype))
+        psi = FiniteMPS(psi.ALs, ARs, AC, i - 1)
+    return psi.normalize()
+
+
+def _svdcut_infinite(psi: InfiniteMPS, alg: SvdCut) -> InfiniteMPS:
+    """Truncate the C spectra and rebuild the gauge
+    (reference svdcut.jl:13-50)."""
+    L, D = psi.period, psi.D
+    ALs = psi.AL
+    # rotate each bond into its Schmidt basis, masking small values
+    Us, Ss, Vhs = [], [], []
+    for i in range(L):
+        U, S, Vh, _ = svd_truncated(psi.C[i], D, alg.trscheme)
+        Us.append(U)
+        Ss.append(S / jnp.maximum(jnp.linalg.norm(S), 1e-300))
+        Vhs.append(Vh)
+    A_new = []
+    for i in range(L):
+        # A'_i = V_{i-1}^H? gauge-rotate: AL_i -> U_{i-1}^dag AL_i U_i,
+        # with the masked S entering through the re-gauge below
+        Ui_prev = Us[(i - 1) % L]
+        A = jnp.einsum("ml,mpr,rk->lpk", Ui_prev.conj(), psi.AC[i], Us[i])
+        A_new.append(A)
+    A_new = jnp.stack(A_new)
+    return InfiniteMPS.from_A(A_new)
+
+
+def changebonds(psi, *args):
+    """changebonds(psi, alg) or changebonds(psi, H, alg[, envs])."""
+    if len(args) == 1:
+        alg = args[0]
+        H = None
+        envs = None
+    else:
+        H = args[0]
+        alg = args[1]
+        envs = args[2] if len(args) > 2 else None
+
+    if isinstance(alg, SvdCut):
+        if isinstance(psi, FiniteMPS):
+            return _svdcut_finite(psi, alg)
+        return _svdcut_infinite(psi, alg)
+    if isinstance(alg, RandExpand):
+        return _expand(psi, alg.dims, H=None, optimal=False)
+    if isinstance(alg, OptimalExpand):
+        assert H is not None, "OptimalExpand needs the Hamiltonian"
+        return _expand(psi, alg.dims, H=H, optimal=True)
+    if isinstance(alg, VUMPSSvdCut):
+        # two-site re-split; within the static-D design this is SvdCut
+        # after a two-site eigensolve — approximated by SvdCut here
+        return changebonds(psi, SvdCut(alg.trscheme))
+    raise TypeError(type(alg))
+
+
+# ----------------------------------------------------------------------------
+# expansion (host-level re-padding)
+# ----------------------------------------------------------------------------
+
+def _pad_bond(arr, D_new, axes):
+    pads = [(0, 0)] * arr.ndim
+    for ax in axes:
+        pads[ax] = (0, D_new - arr.shape[ax])
+    return jnp.pad(arr, pads)
+
+
+def _expand(psi, extra: int, H=None, optimal: bool = False):
+    """Return a new state with every virtual bond enlarged by `extra`
+    (padded static shapes). For OptimalExpand the new AL directions come
+    from the SVD of the nullspace-projected two-site derivative
+    (reference optimalexpand.jl); for RandExpand they are random."""
+    key = jax.random.PRNGKey(42)
+
+    if isinstance(psi, FiniteMPS):
+        D = psi.D
+        D_new = D + extra
+        psi0 = psi.move_center(0)
+        ALs = _pad_bond(psi0.ALs, D_new, (1, 3))
+        ARs = _pad_bond(psi0.ARs, D_new, (1, 3))
+        AC = _pad_bond(psi0.AC, D_new, (0, 2))
+        return FiniteMPS(ALs, ARs, AC, 0)
+
+    if isinstance(psi, InfiniteMPS):
+        L, D, d = psi.period, psi.D, psi.physicaldim
+        D_new = D + extra
+        if optimal and H is not None:
+            envs = hamiltonian_environments(psi, H)
+            Ws = jnp.stack([H.site(i) for i in range(L)]).astype(psi.dtype)
+            exp_vecs = []
+            for i in range(L):
+                j = (i + 1) % L
+                theta = jnp.einsum("lpm,mqr->lpqr", psi.AC[i], psi.AR[j])
+                h2 = ac2_apply(envs.GLs[i], Ws[i], Ws[j], envs.GRs[j], theta)
+                # project out the current tangent directions
+                VL = leftnull(psi.AL[i])          # (D, d, D(d-1))
+                VR = rightnull(psi.AR[j])         # (D(d-1), d, D)
+                M = jnp.einsum("lpk,lpqr,mqr->km", VL.conj(), h2, VR.conj())
+                U, S, Vh, _ = svd_truncated(M, min(extra, M.shape[0]),
+                                            notrunc())
+                # new left directions: VL @ U (D, d, extra)
+                newdir = jnp.einsum("lpk,ke->lpe", VL, U)
+                exp_vecs.append(newdir)
+            A_new = []
+            for i in range(L):
+                A = jnp.zeros((D_new, d, D_new), psi.dtype)
+                A = A.at[:D, :, :D].set(psi.AL[i])
+                ed = exp_vecs[i].shape[2]
+                A = A.at[:D, :, D:D + ed].set(exp_vecs[i])
+                A_new.append(A)
+            A_stack = jnp.stack(A_new)
+            # random perturbation in the remaining new block keeps full rank
+            noise = 1e-6 * jax.random.normal(
+                key, A_stack.shape, jnp.zeros((), psi.dtype).real.dtype
+            ).astype(psi.dtype)
+            mask = jnp.zeros_like(A_stack, dtype=bool).at[:, D:, :, D:].set(True)
+            A_stack = A_stack + noise * mask
+            return InfiniteMPS.from_A(A_stack)
+        # random expansion
+        A = _pad_bond(psi.AL, D_new, (1, 3))
+        noise = 1e-5 * jax.random.normal(
+            key, A.shape, jnp.zeros((), psi.dtype).real.dtype).astype(psi.dtype)
+        mask = jnp.zeros_like(A, dtype=bool).at[:, D:, :, :].set(True)
+        mask = mask.at[:, :, :, D:].set(True)
+        A = A + noise * mask
+        return InfiniteMPS.from_A(A)
+
+    raise TypeError(type(psi))

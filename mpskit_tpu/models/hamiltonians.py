@@ -26,6 +26,20 @@ def transverse_field_ising(g: float = 1.0, period: int = 1,
     return MPOHamiltonian.from_local(-H2, period=period, dtype=dtype)
 
 
+def transverse_field_ising_lattice(g: float = 1.0, period: int = 1,
+                                   dtype=np.complex128) -> MPOHamiltonian:
+    """H = -sum_bonds Z Z - g sum_sites X (uniform field, the MPSKitModels
+    convention used by the reference docs oracles,
+    docs/src/man/algorithms.md:150-165). Identical to
+    `transverse_field_ising` in the bulk, but with full field on the edge
+    sites of finite chains."""
+    X, _, Z, I = pauli(dtype)
+    Hzz = MPOHamiltonian.from_local(-_two_site(Z, Z), period=period,
+                                    dtype=dtype)
+    Hx = MPOHamiltonian.from_local(-g * X, period=period, dtype=dtype)
+    return Hzz + Hx
+
+
 def heisenberg_XXX(spin: float = 1, period: int = 1,
                    dtype=np.complex128) -> MPOHamiltonian:
     """H = 4 * sum_bonds S_i . S_{i+1} (reference test/setup.jl:46-65: the
