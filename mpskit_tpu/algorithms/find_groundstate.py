@@ -1,0 +1,58 @@
+"""`find_groundstate` dispatcher with keyword-driven default algorithm
+selection (reference src/algorithms/groundstate/find_groundstate.jl:19-41):
+infinite states default to VUMPS (chained with GradientGrassmann for tight
+tolerances), finite states to DMRG (DMRG2 first when a truncation scheme is
+given)."""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from ..states.finitemps import FiniteMPS
+from ..states.infinitemps import InfiniteMPS
+from .dmrg import DMRG, find_groundstate_dmrg
+from .dmrg2 import DMRG2, find_groundstate_dmrg2
+from .vumps import VUMPS, find_groundstate_vumps
+from .idmrg import IDMRG1, IDMRG2, find_groundstate_idmrg1, find_groundstate_idmrg2
+from .grassmann import GradientGrassmann, find_groundstate_grassmann
+
+
+def find_groundstate(psi, H, alg=None, envs=None, tol: float = 1e-10,
+                     maxiter: int = 100, trscheme=None, verbosity=None):
+    """find_groundstate(psi, H[, alg]) -> (psi, envs, epsilon)."""
+    kw = {} if verbosity is None else {"verbosity": verbosity}
+
+    if alg is None:
+        if isinstance(psi, FiniteMPS):
+            if trscheme is not None:
+                psi, _, _ = find_groundstate_dmrg2(
+                    psi, H, DMRG2(tol=max(tol, 1e-8), maxiter=maxiter,
+                                  trscheme=trscheme, **kw))
+            return find_groundstate_dmrg(
+                psi, H, DMRG(tol=tol, maxiter=maxiter, **kw))
+        if isinstance(psi, InfiniteMPS):
+            # VUMPS with a tolerance floor, refined by gradient descent when
+            # a tighter tolerance is requested (reference
+            # find_groundstate.jl:19-33)
+            vumps_tol = max(tol, 1e-9)
+            psi, envs_out, eps = find_groundstate_vumps(
+                psi, H, VUMPS(tol=vumps_tol, maxiter=maxiter, **kw))
+            if tol < vumps_tol and eps > tol:
+                psi, envs_out, eps = find_groundstate_grassmann(
+                    psi, H, GradientGrassmann(tol=tol, **kw))
+            return psi, envs_out, eps
+        raise TypeError(type(psi))
+
+    if isinstance(alg, DMRG):
+        return find_groundstate_dmrg(psi, H, alg)
+    if isinstance(alg, DMRG2):
+        return find_groundstate_dmrg2(psi, H, alg)
+    if isinstance(alg, VUMPS):
+        return find_groundstate_vumps(psi, H, alg)
+    if isinstance(alg, IDMRG1):
+        return find_groundstate_idmrg1(psi, H, alg)
+    if isinstance(alg, IDMRG2):
+        return find_groundstate_idmrg2(psi, H, alg)
+    if isinstance(alg, GradientGrassmann):
+        return find_groundstate_grassmann(psi, H, alg)
+    raise TypeError(type(alg))
