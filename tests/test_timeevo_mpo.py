@@ -1,0 +1,90 @@
+import numpy as np
+import scipy.linalg as sla
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpskit_tpu.models import transverse_field_ising, heisenberg_XXX
+from mpskit_tpu.states import FiniteMPS
+from mpskit_tpu.algorithms.timeevmpo import make_time_mpo, WI, WII, TaylorCluster
+from mpskit_tpu.algorithms.time_evolve import time_evolve
+from mpskit_tpu.algorithms import expectation_value
+from mpskit_tpu.operators.apply import apply_densempo_finite
+
+
+def _dense_mpo_matrix(O, L):
+    """Contract an evolution DenseMPO (uniform) into a dense operator with
+    level-0 boundary vectors."""
+    Os = [np.asarray(O.site(i)) for i in range(L)]
+    w, _, d, _ = Os[0].shape
+    E = np.zeros((w, 1, 1), Os[0].dtype)
+    E[0, 0, 0] = 1.0
+    for i in range(L):
+        dim = E.shape[1]
+        E = np.einsum("aST,abst->bSsTt", E, Os[i]).reshape(
+            w, dim * d, dim * d)
+    return E[0]
+
+
+@pytest.mark.parametrize("alg_name", ["WI", "WII"])
+def test_time_mpo_vs_dense_expm(alg_name):
+    L, g, dt = 6, 1.3, 0.02
+    H = transverse_field_ising(g=g)
+    Hd = H.to_matrix(L)
+    U_exact = sla.expm(-1j * dt * Hd)
+    alg = WI() if alg_name == "WI" else WII()
+    U = make_time_mpo(H, dt, alg)
+    Ud = _dense_mpo_matrix(U, L)
+    err = np.linalg.norm(Ud - U_exact) / np.linalg.norm(U_exact)
+    # first-order approximants: O(L * dt^2) error per step
+    assert err < 3 * L * dt**2, err
+    # and the error is genuinely second order in dt
+    U_half = _dense_mpo_matrix(make_time_mpo(H, dt / 2, alg), L)
+    err_half = np.linalg.norm(U_half - sla.expm(-1j * dt / 2 * Hd)) \
+        / np.linalg.norm(U_exact)
+    assert err_half < err / 2.5
+    # WII should beat WI
+    if alg_name == "WII":
+        U1 = _dense_mpo_matrix(make_time_mpo(H, dt, WI()), L)
+        err1 = np.linalg.norm(U1 - U_exact)
+        assert np.linalg.norm(Ud - U_exact) < err1
+
+
+def test_mpo_time_evolution_conserves_energy():
+    # evolve the ground state: truncation error is tiny, energy drift is
+    # the O(dt^2) approximant error only
+    from mpskit_tpu.algorithms import DMRG, find_groundstate_dmrg
+
+    L, D = 6, 12
+    H = heisenberg_XXX(spin=0.5)
+    psi = FiniteMPS.random(jax.random.PRNGKey(0), L, 2, D)
+    psi, _, _ = find_groundstate_dmrg(psi, H, DMRG(tol=1e-9, maxiter=30))
+    E0 = float(expectation_value(psi, H))
+    psi, _ = time_evolve(psi, H, np.linspace(0, 0.04, 3), WII())
+    E1 = float(expectation_value(psi, H))
+    assert abs(E1 - E0) < 2e-3
+
+
+def test_mpo_product_consistency():
+    # W * (W * psi) ~= (W @ W) * psi (reference test/operators.jl:159-168)
+    L, D, dt = 6, 16, 0.03
+    H = transverse_field_ising(g=1.2)
+    U = make_time_mpo(H, dt, WII())
+    psi = FiniteMPS.random(jax.random.PRNGKey(2), L, 2, D)
+    a = apply_densempo_finite(U, apply_densempo_finite(U, psi, Dmax=D),
+                              Dmax=D)
+    b = apply_densempo_finite(U @ U, psi, Dmax=D)
+    ov = complex(a.dot(b))
+    assert abs(abs(ov) - 1.0) < 1e-5
+
+
+def test_apply_identity_mpo():
+    from mpskit_tpu.operators.mpo import DenseMPO
+
+    L, D, d = 6, 8, 2
+    psi = FiniteMPS.random(jax.random.PRNGKey(1), L, d, D)
+    I_mpo = DenseMPO.from_array(jnp.eye(d, dtype=psi.dtype)[None, None],
+                                period=L)
+    psi2 = apply_densempo_finite(I_mpo, psi)
+    ov = complex(psi2.dot(psi))
+    assert abs(abs(ov) - 1.0) < 1e-9
