@@ -2,15 +2,16 @@
 
 A from-scratch rebuild of the capabilities of MPSKit.jl (reference:
 /root/reference, v0.10.2) designed TPU-first: states and environments are
-immutable pytrees, sweeps are jit-compiled scans, effective-Hamiltonian
-eigensolves / geometric-series environment solves run as on-device
-Lanczos/Arnoldi/GMRES, and bond dimension shards over ICI via
-jax.sharding/pjit.
+immutable pytrees of stacked uniform-shape arrays, sweeps are jit-compiled
+scans, effective-Hamiltonian eigensolves / geometric-series environment
+solves run as on-device Lanczos/Arnoldi/GMRES, and bond dimension shards
+over ICI via jax.sharding/pjit (see mpskit_tpu.parallel).
 
 Default element type follows the reference (ComplexF64,
 cf. reference src/utility/defaults.jl:18-28): float64/complex128 is enabled
-at import unless MPSKIT_TPU_NO_X64 is set (use float32/complex64 dtypes
-explicitly for maximum MXU throughput).
+at import unless MPSKIT_TPU_NO_X64 is set. On TPU hardware complex128 is
+unavailable — use real float64 (exact for real Hamiltonians) or
+complex64/float32 for maximum MXU throughput.
 """
 
 import os as _os
@@ -21,31 +22,46 @@ if not _os.environ.get("MPSKIT_TPU_NO_X64"):
     _jax.config.update("jax_enable_x64", True)
 
 from . import config
-from .config import Defaults
+from .config import Defaults, MeshConfig
 
 # tensor core
 from .tensors.ops import (
-    qr_pos,
-    lq_pos,
-    leftorth,
-    rightorth,
-    leftnull,
-    rightnull,
-    svd_truncated,
-    TruncationScheme,
-    truncdim,
-    truncerr,
-    truncbelow,
-    notrunc,
+    qr_pos, lq_pos, leftorth, rightorth, leftnull, rightnull,
+    svd_truncated, TruncationScheme, truncdim, truncerr, truncbelow, notrunc,
 )
 
 # linear algebra core
 from .linalg import (
-    lanczos_groundstate,
-    eigsh_smallest,
-    dominant_eigs,
-    linsolve,
+    lanczos_groundstate, eigsh_smallest, dominant_eigs, linsolve,
     expm_multiply,
 )
+
+# states
+from .states import (
+    FiniteMPS, InfiniteMPS, WindowMPS, MPSMultiline, LeftGaugedQP, FiniteQP,
+)
+
+# operators
+from .operators import (
+    MPOHamiltonian, DenseMPO, MPOMultiline, LazySum, MultipliedOperator,
+    TimedOperator, UntimedOperator, ProjectionOperator, LinearCombination,
+)
+from .operators.apply import apply_densempo_finite, apply_densempo_infinite
+
+# algorithms
+from .algorithms import (
+    DMRG, DMRG2, IDMRG1, IDMRG2, VUMPS, VOMPS, VUMPS_Boundary,
+    GradientGrassmann, TDVP, TDVP2, QuasiparticleAnsatz, FiniteExcited,
+    SvdCut, OptimalExpand, RandExpand, VUMPSSvdCut, NaiveInvert, Jeckelmann,
+    DynamicalDMRG, WI, WII, TaylorCluster, FitDMRG,
+    find_groundstate, leading_boundary, timestep, time_evolve, excitations,
+    changebonds, approximate, propagator, expectation_value, correlator,
+    entropy, entanglement_spectrum, transfer_spectrum, correlation_length,
+    marek_gap, variance, calc_galerkin, fidelity_susceptibility,
+    exact_diagonalization, periodic_boundary_conditions, make_time_mpo,
+)
+
+# models (fixtures / model zoo)
+from . import models
 
 __version__ = "0.1.0"

@@ -56,15 +56,20 @@ def _galerkin_right(AR, y):
 
 
 @partial(jax.jit, static_argnums=(6, 7))
-def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int):
+def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
+                GL0=None, GRL=None):
     """One full DMRG sweep (L2R over sites 0..L-2, R2L over L-1..1),
     starting and ending with center = 0. Returns updated tensors, fresh
-    right environments, the last eigenvalue and the max Galerkin residual."""
+    right environments, the last eigenvalue and the max Galerkin residual.
+    GL0/GRL override the open-chain boundary environments (used by
+    WindowMPS, whose boundaries are infinite-side fixed points)."""
     L, D = ALs.shape[0], ALs.shape[1]
     w = Ws.shape[1]
     dtype = AC.dtype
-    GL0 = left_boundary(w, D, dtype)
-    GRL = right_boundary(w, D, dtype)
+    if GL0 is None:
+        GL0 = left_boundary(w, D, dtype)
+    if GRL is None:
+        GRL = right_boundary(w, D, dtype)
 
     # ---- left-to-right: solve sites 0..L-2 ----
     def stepL(carry, xs):
@@ -112,8 +117,37 @@ def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int):
     return ALs, ARs, AC, GRs, lam, eps
 
 
+def find_groundstate_dmrg_window(psi, H, alg: DMRG = DMRG()):
+    """One-site DMRG on the window of a WindowMPS, with the infinite-side
+    fixed points as boundary environments."""
+    from ..states.windowmps import WindowMPS
+
+    assert isinstance(psi, WindowMPS)
+    win = psi.window.move_center(0)
+    L, D = win.length, win.D
+    Ws = stack_W(H, L).astype(win.dtype)
+    GL0, GRL = psi.boundary_envs(H)
+    GRs = compute_right_envs(win.ARs, Ws, GRL)
+    ALs, ARs, AC = win.ALs, win.ARs, win.AC
+    eps = 1.0
+    for it in range(1, alg.maxiter + 1):
+        inner_tol = updatetol(eps, it)
+        ALs, ARs, AC, GRs, lam, eps = _dmrg_sweep(
+            ALs, ARs, AC, Ws, GRs, inner_tol,
+            alg.krylovdim, alg.eig_maxrestarts, GL0=GL0, GRL=GRL)
+        eps = float(eps)
+        if eps < alg.tol:
+            break
+    out = WindowMPS(psi.left_gs, FiniteMPS(ALs, ARs, AC, 0), psi.right_gs)
+    return out, None, eps
+
+
 def find_groundstate_dmrg(psi: FiniteMPS, H, alg: DMRG = DMRG()):
     """Run one-site DMRG. Returns (psi, envs, epsilon)."""
+    from ..states.windowmps import WindowMPS
+
+    if isinstance(psi, WindowMPS):
+        return find_groundstate_dmrg_window(psi, H, alg)
     L, D = psi.length, psi.D
     psi = psi.move_center(0)
     Ws = stack_W(H, L)

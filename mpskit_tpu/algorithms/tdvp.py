@@ -83,15 +83,18 @@ def _timestep_infinite(psi: InfiniteMPS, H, dt, m: int, gauge_tol: float,
 # ----------------------------------------------------------------------------
 
 @partial(jax.jit, static_argnums=(5,))
-def _timestep_finite(ALs, ARs, AC, Ws, GRs, m: int, dt=0.01):
+def _timestep_finite(ALs, ARs, AC, Ws, GRs, m: int, dt=0.01,
+                     GL0=None, GRL=None):
     """Symmetric second-order sweep: every site evolved forward by dt/2 in
     each direction with backward bond evolution in between. Starts and ends
-    with center = 0."""
+    with center = 0. GL0/GRL override the boundaries (WindowMPS)."""
     L, D = ALs.shape[0], ALs.shape[1]
     w = Ws.shape[1]
     dtype = AC.dtype
-    GL0 = left_boundary(w, D, dtype)
-    GRL = right_boundary(w, D, dtype)
+    if GL0 is None:
+        GL0 = left_boundary(w, D, dtype)
+    if GRL is None:
+        GRL = right_boundary(w, D, dtype)
     tau = -1j * (dt / 2)
 
     def stepL(carry, xs):
@@ -176,6 +179,23 @@ def timestep(psi, H, t, dt, alg=None, envs=None):
         ALs, ARs, AC, GRs = _timestep_finite(
             psi.ALs, psi.ARs, psi.AC, Ws, GRs, alg.expalg_m, dt=dt)
         return FiniteMPS(ALs, ARs, AC, 0), None
+
+    from ..states.windowmps import WindowMPS
+
+    if isinstance(psi, WindowMPS):
+        # evolve the window against the infinite boundary environments
+        # (reference tdvp.jl window variant; left/right ground states are
+        # kept frozen here)
+        win = psi.window.move_center(0)
+        L, D = win.length, win.D
+        Ws = stack_W(H, L).astype(win.dtype)
+        GL0, GRL = psi.boundary_envs(H)
+        GRs = compute_right_envs(win.ARs, Ws, GRL)
+        ALs, ARs, AC, GRs = _timestep_finite(
+            win.ALs, win.ARs, win.AC, Ws, GRs, alg.expalg_m, dt=dt,
+            GL0=GL0, GRL=GRL)
+        return WindowMPS(psi.left_gs, FiniteMPS(ALs, ARs, AC, 0),
+                         psi.right_gs), None
 
     raise TypeError(type(psi))
 

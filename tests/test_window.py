@@ -1,0 +1,48 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpskit_tpu.models import transverse_field_ising
+from mpskit_tpu.models.spins import pauli
+from mpskit_tpu.states.infinitemps import InfiniteMPS
+from mpskit_tpu.states.windowmps import WindowMPS
+from mpskit_tpu.algorithms.vumps import VUMPS, find_groundstate_vumps
+from mpskit_tpu.algorithms.dmrg import DMRG, find_groundstate_dmrg
+from mpskit_tpu.algorithms.tdvp import TDVP, timestep
+from mpskit_tpu.algorithms.expval import expectation_value
+
+
+def test_window_dmrg_matches_infinite():
+    # a window cut from the VUMPS ground state, re-optimized with DMRG,
+    # keeps the infinite bulk magnetization in its center
+    g, D = 1.8, 12
+    H = transverse_field_ising(g=g)
+    psi_inf = InfiniteMPS.random(jax.random.PRNGKey(0), 1, 2, D)
+    psi_inf, envs, _ = find_groundstate_vumps(
+        psi_inf, H, VUMPS(tol=1e-10, maxiter=150))
+    X, _, Z, _ = pauli()
+    from mpskit_tpu.algorithms.expval_infinite import expval_infinite_local
+
+    mx_inf = complex(expval_infinite_local(psi_inf, X, 0)).real
+
+    win = WindowMPS.from_infinite(psi_inf, L=10)
+    win, _, eps = find_groundstate_dmrg(win, H, DMRG(tol=1e-8, maxiter=20))
+    mx_win = complex(expectation_value(win.window, (5, X))).real
+    assert abs(mx_win - mx_inf) < 1e-6
+
+
+def test_window_tdvp_local_quench():
+    # evolving the unperturbed window keeps it (close to) stationary
+    g, D = 1.5, 10
+    H = transverse_field_ising(g=g)
+    psi_inf = InfiniteMPS.random(jax.random.PRNGKey(1), 1, 2, D)
+    psi_inf, _, _ = find_groundstate_vumps(
+        psi_inf, H, VUMPS(tol=1e-9, maxiter=150))
+    win = WindowMPS.from_infinite(psi_inf, L=8)
+    X, _, Z, _ = pauli()
+    mx0 = complex(expectation_value(win.window, (4, X))).real
+    for _ in range(3):
+        win, _ = timestep(win, H, 0.0, 0.05, TDVP())
+    mx1 = complex(expectation_value(win.window, (4, X))).real
+    assert abs(mx1 - mx0) < 1e-5
