@@ -18,7 +18,13 @@ from ..utils.tree import tree_norm, tree_scale, tree_add
 from .basis import basis_zeros, basis_get, basis_set, basis_inner_all, basis_combine
 
 _BREAKDOWN = 1e-14
-_SENTINEL = 1e30
+
+
+def _sentinel(dtype):
+    """Large value placed on invalid tridiagonal entries so they sort above
+    any physical eigenvalue; must stay far from the dtype's overflow when
+    squared inside eigh (1e30 would overflow float32)."""
+    return 1e8 if jnp.finfo(dtype).bits == 32 else 1e30
 
 
 def lanczos_factorize(matvec: Callable, v0, m: int):
@@ -92,7 +98,7 @@ def eigsh_smallest(matvec: Callable, v0, m: int = 30, maxrestarts: int = 100,
     def restart(state):
         v, _, _, it, _ = state
         V, alpha, beta, nvalid = lanczos_factorize(matvec, v, m)
-        T = _tridiag(alpha, beta, nvalid, _SENTINEL)
+        T = _tridiag(alpha, beta, nvalid, _sentinel(alpha.dtype))
         evals, evecs = jnp.linalg.eigh(T)
         s = evecs[:, 0]
         lam = evals[0]
