@@ -20,6 +20,13 @@ from .grassmann import GradientGrassmann, find_groundstate_grassmann
 def find_groundstate(psi, H, alg=None, envs=None, tol: float = 1e-10,
                      maxiter: int = 100, trscheme=None, verbosity=None):
     """find_groundstate(psi, H[, alg]) -> (psi, envs, epsilon)."""
+    from ..operators.lazysum import LazySum, MultipliedOperator
+
+    if isinstance(H, (LazySum, MultipliedOperator)):
+        # time-independent sums are materialized eagerly: with the stacked
+        # dense FSM representation the summed MPO is the fastest path on
+        # the MXU (the reference keeps MultipleEnvironments instead)
+        H = H.sum_materialized() if isinstance(H, LazySum) else H.eval_at(0.0)
     kw = {} if verbosity is None else {"verbosity": verbosity}
 
     if alg is None:

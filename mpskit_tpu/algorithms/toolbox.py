@@ -263,7 +263,7 @@ def fidelity_susceptibility(psi, H, Vs, envs=None, tol: float = 1e-8):
     from ..algorithms.excitations import (
         _qp_matvec_infinite, _renorm_energies_infinite,
     )
-    from ..linalg.gmres import linsolve
+    from ..linalg.gmres import linsolve_cg
 
     assert isinstance(psi, InfiniteMPS)
     if envs is None:
@@ -287,10 +287,15 @@ def fidelity_susceptibility(psi, H, Vs, envs=None, tol: float = 1e-8):
     def hmv(X):
         return _qp_matvec_infinite(X, qp0, H, envs.GLs, envs.GRs, Es, tol)
 
-    sols = [linsolve(hmv, rhs, a0=0.0, a1=1.0, tol=tol) for rhs in rhss]
+    # H_eff - E is Hermitian PSD on the tangent space: hand-rolled CG (the
+    # operator itself nests GMRES environment solves, so jax.scipy solvers
+    # cannot be stacked here)
+    sols = [linsolve_cg(hmv, rhs, tol=tol) for rhs in rhss]
+    # Gram matrix of the tangent solutions (reference
+    # fidelity_susceptibility.jl:25-27)
     n = len(Vs)
     G = jnp.zeros((n, n), psi.dtype)
     for a in range(n):
         for b in range(n):
-            G = G.at[a, b].set(jnp.vdot(sols[a], rhss[b]))
+            G = G.at[a, b].set(jnp.vdot(sols[a], sols[b]))
     return G

@@ -29,3 +29,40 @@ def linsolve(matvec: Callable, b, x0=None, a0=1.0, a1=1.0, tol=1e-12,
     x, _ = gmres(op, b, x0=x0, tol=tol, atol=tol * tree_norm(b),
                  restart=restart, maxiter=maxiter, solve_method="batched")
     return x
+
+
+def linsolve_cg(matvec, b, x0=None, tol=1e-10, maxiter: int = 200):
+    """Hand-rolled conjugate gradient for Hermitian positive(-semi)definite
+    pytree operators. Unlike jax.scipy's cg/gmres this builds no
+    custom_linear_solve primitive, so it can be nested inside other solvers
+    (needed by fidelity_susceptibility, whose operator itself contains GMRES
+    environment solves)."""
+    import jax
+    import jax.numpy as jnp
+    from ..utils.tree import tree_inner
+
+    if x0 is None:
+        x0 = jax.tree_util.tree_map(jnp.zeros_like, b)
+
+    r0 = tree_add(b, matvec(x0), alpha=-1.0)
+    bnorm = tree_norm(b)
+
+    def cond(state):
+        _, r, _, _, k = state
+        return jnp.logical_and(k < maxiter,
+                               tree_norm(r) > tol * jnp.maximum(bnorm, 1e-300))
+
+    def body(state):
+        x, r, p, rs, k = state
+        Ap = matvec(p)
+        alpha = rs / tree_inner(p, Ap)
+        x = tree_add(x, p, alpha=alpha)
+        r = tree_add(r, Ap, alpha=-alpha)
+        rs_new = tree_inner(r, r)
+        beta = rs_new / rs
+        p = tree_add(r, p, alpha=beta)
+        return x, r, p, rs_new, k + 1
+
+    state = (x0, r0, r0, tree_inner(r0, r0), jnp.zeros((), jnp.int32))
+    x, _, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return x

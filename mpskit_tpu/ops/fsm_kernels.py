@@ -68,7 +68,7 @@ def _ac_kernel(w: int, d: int, D: int, Tx: int, Tn: int,
 
 
 @functools.partial(jax.jit, static_argnums=(4, 5))
-def ac_apply_pallas(GL, W, GR, x, tile_x: int = 256, tile_n: int = 128):
+def ac_apply_pallas(GL, W, GR, x, tile_x: int = 128, tile_n: int = 128):
     """Fused H_eff^{AC} application (float32). D must be a multiple of the
     tile sizes."""
     w, D, _ = GL.shape

@@ -152,6 +152,44 @@ class FiniteMPS:
         _, C = leftorth(self.AC)
         return C
 
+    def __add__(self, other: "FiniteMPS") -> "FiniteMPS":
+        """State addition by virtual-bond direct sum (reference
+        src/states/finitemps.jl:375-443): block-diagonal bulk tensors with
+        concatenated boundary rows/columns, re-gauged; the result lives at
+        bond dimension D1 + D2 (pad/truncate afterwards if needed)."""
+        L, d = self.length, self.physicaldim
+        assert other.length == L and other.physicaldim == d
+        D1, D2 = self.D, other.D
+        Dn = D1 + D2
+        a = self.move_center(0)
+        b = other.move_center(0)
+        As_a = [a.AC] + [a.ARs[i] for i in range(1, L)]
+        As_b = [b.AC] + [b.ARs[i] for i in range(1, L)]
+        out = jnp.zeros((L, Dn, d, Dn), jnp.result_type(self.dtype, other.dtype))
+        for i in range(L):
+            Ta, Tb = As_a[i], As_b[i]
+            if i == 0:
+                # boundary: both live on the same (padded index 0) left bond
+                out = out.at[0, 0:1, :, :D1].set(Ta[0:1])
+                out = out.at[0, 0:1, :, D1:].add(Tb[0:1])
+            else:
+                out = out.at[i, :D1, :, :D1].set(Ta)
+                out = out.at[i, D1:, :, D1:].set(Tb)
+        if L > 1:
+            # right boundary: both blocks end on bond index 0 — fold the
+            # second block's boundary column onto the first
+            last = out[L - 1]
+            col = last[:, :, D1]  # second block's boundary column (r=0 of it)
+            last = last.at[:, :, 0].add(col)
+            last = last.at[:, :, D1].set(0.0)
+            out = out.at[L - 1].set(last)
+        return FiniteMPS.from_tensors(out, normalize=False)
+
+    def __mul__(self, a):
+        return dataclasses.replace(self, AC=self.AC * a)
+
+    __rmul__ = __mul__
+
     def dot(self, other: "FiniteMPS"):
         """<self | other> overlap (reference src/states/finitemps.jl:459)."""
         a = self.move_center(0)
@@ -164,8 +202,9 @@ class FiniteMPS:
             v = jnp.einsum("xy,xsm,ysn->mn", v, Ta.conj(), Tb)
             return v, None
 
-        v0 = jnp.eye(self.D, dtype=self.dtype)
-        # only the (0, 0) entry is physical on the left boundary
-        v0 = jnp.zeros((self.D, self.D), self.dtype).at[0, 0].set(1.0)
-        v, _ = jax.lax.scan(body, v0, (Aa, Ab))
+        # only the (0, 0) entry is physical on the left boundary; the two
+        # states may have different (static) bond dimensions
+        dt = jnp.result_type(self.dtype, other.dtype)
+        v0 = jnp.zeros((self.D, other.D), dt).at[0, 0].set(1.0)
+        v, _ = jax.lax.scan(body, v0, (Aa.astype(dt), Ab.astype(dt)))
         return v[0, 0]
