@@ -53,7 +53,7 @@ def _fit_sweep(ALs, ARs, AC, Os, phiA, GRs, GL0, GRL):
         W, phiAC_i, phiAL_i, GR_next = xs
         ACn = ac_apply(GL, W, GR_next, phiAC_i)
         nrm = jnp.linalg.norm(ACn)
-        ACn = ACn / jnp.maximum(nrm, 1e-300)
+        ACn = ACn / jnp.maximum(nrm, 1e-30)
         AL, C = leftorth(ACn)
         GL_next = transfer_left_mpo(GL, W, phiAL_i, AL)
         return GL_next, (AL, GL, ACn)
@@ -68,7 +68,7 @@ def _fit_sweep(ALs, ARs, AC, Os, phiA, GRs, GL0, GRL):
         W, phiAC_i, phiAR_i, GL_i = xs
         ACn = ac_apply(GL_i, W, GR, phiAC_i)
         nrm = jnp.linalg.norm(ACn)
-        ACn = ACn / jnp.maximum(nrm, 1e-300)
+        ACn = ACn / jnp.maximum(nrm, 1e-30)
         C, AR = rightorth(ACn)
         GR_prev = transfer_right_mpo(GR, W, phiAR_i, AR)
         return GR_prev, (AR, GR, ACn)
@@ -179,7 +179,7 @@ def _approximate_infinite(psi: InfiniteMPS, O, phi: InfiniteMPS, alg):
         ALs = jax.vmap(regauge_ACC)(ACs, Cs)
         ALC = jnp.einsum("ilpm,imr->ilpr", ALs, Cs)
         phase = jnp.einsum("ilpr,ilpr->i", ALC.conj(), ACs)
-        phase = phase / jnp.maximum(jnp.abs(phase), 1e-300)
+        phase = phase / jnp.maximum(jnp.abs(phase), 1e-30)
         eps = float(jnp.max(jnp.linalg.norm(
             (ACs - phase[:, None, None, None] * ALC).reshape(L, -1), axis=1)))
         psi = InfiniteMPS.from_AL(ALs, psi.C[L - 1])

@@ -68,7 +68,7 @@ def _svdcut_finite(psi: FiniteMPS, alg: SvdCut) -> FiniteMPS:
     for i in range(psi.length - 1, 0, -1):
         C, AR = rightorth(AC)
         U, S, Vh, _ = svd_truncated(C, D, alg.trscheme)
-        S = S / jnp.maximum(jnp.linalg.norm(S), 1e-300)
+        S = S / jnp.maximum(jnp.linalg.norm(S), 1e-30)
         AR_new = jnp.einsum("km,mpr->kpr", Vh, AR)
         ARs = ARs.at[i].set(AR_new)
         AC = jnp.einsum("lpm,mk,k->lpk", psi.ALs[i - 1], U,
@@ -87,7 +87,7 @@ def _svdcut_infinite(psi: InfiniteMPS, alg: SvdCut) -> InfiniteMPS:
     for i in range(L):
         U, S, Vh, _ = svd_truncated(psi.C[i], D, alg.trscheme)
         Us.append(U)
-        Ss.append(S / jnp.maximum(jnp.linalg.norm(S), 1e-300))
+        Ss.append(S / jnp.maximum(jnp.linalg.norm(S), 1e-30))
         Vhs.append(Vh)
     A_new = []
     for i in range(L):

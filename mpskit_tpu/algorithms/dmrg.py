@@ -57,7 +57,7 @@ def _galerkin_right(AR, y):
 
 @partial(jax.jit, static_argnums=(6, 7))
 def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
-                GL0=None, GRL=None):
+                GL0=None, GRL=None, masks=None):
     """One full DMRG sweep (L2R over sites 0..L-2, R2L over L-1..1),
     starting and ending with center = 0. Returns updated tensors, fresh
     right environments, the last eigenvalue and the max Galerkin residual.
@@ -71,20 +71,26 @@ def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
     if GRL is None:
         GRL = right_boundary(w, D, dtype)
 
+    if masks is None:
+        masks = jnp.ones((L, 1, 1, 1), dtype=jnp.bool_)
+    maskf = masks.astype(dtype)
+
     # ---- left-to-right: solve sites 0..L-2 ----
     def stepL(carry, xs):
         AC, GL = carry
-        W, AR_next, GR_next = xs
+        W, AR_next, GR_next, mk = xs
         res = eigsh_smallest(
             lambda x: ac_apply(GL, W, GR_next, x), AC, m, restarts, inner_tol)
-        ACp = res.eigenvector
+        ACp = res.eigenvector * mk
+        ACp = ACp / jnp.maximum(jnp.linalg.norm(ACp), 1e-30)
         AL, C = leftorth(ACp)
+        AL = AL * mk
         eps = _galerkin_left(AL, ac_apply(GL, W, GR_next, ACp))
         GL_next = transfer_left_mpo(GL, W, AL, AL)
         AC_next = jnp.einsum("lm,mpr->lpr", C, AR_next)
         return (AC_next, GL_next), (AL, GL, res.eigenvalue, eps)
 
-    xsL = (Ws[: L - 1], ARs[1:], GRs[1:L])
+    xsL = (Ws[: L - 1], ARs[1:], GRs[1:L], maskf[: L - 1])
     (AC, GL_last), (ALs_new, GLs_scan, lamsL, epsL) = jax.lax.scan(
         stepL, (AC, GL0), xsL)
     ALs = ALs.at[: L - 1].set(ALs_new)
@@ -94,17 +100,19 @@ def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
     # ---- right-to-left: solve sites L-1..1 ----
     def stepR(carry, xs):
         AC, GR = carry
-        W, AL_prev, GL_i = xs
+        W, AL_prev, GL_i, mk = xs
         res = eigsh_smallest(
             lambda x: ac_apply(GL_i, W, GR, x), AC, m, restarts, inner_tol)
-        ACp = res.eigenvector
+        ACp = res.eigenvector * mk
+        ACp = ACp / jnp.maximum(jnp.linalg.norm(ACp), 1e-30)
         C, AR = rightorth(ACp)
+        AR = AR * mk
         eps = _galerkin_right(AR, ac_apply(GL_i, W, GR, ACp))
         GR_prev = transfer_right_mpo(GR, W, AR, AR)
         AC_prev = jnp.einsum("lpm,mr->lpr", AL_prev, C)
         return (AC_prev, GR_prev), (AR, GR, res.eigenvalue, eps)
 
-    xsR = (Ws[1:], ALs[: L - 1], GLs[1:])
+    xsR = (Ws[1:], ALs[: L - 1], GLs[1:], maskf[1:])
     (AC, GR_last), (ARs_new, GRs_scan, lamsR, epsR) = jax.lax.scan(
         stepR, (AC, GRL), xsR, reverse=True)
     ARs = ARs.at[1:].set(ARs_new)
@@ -148,11 +156,14 @@ def find_groundstate_dmrg(psi: FiniteMPS, H, alg: DMRG = DMRG()):
 
     if isinstance(psi, WindowMPS):
         return find_groundstate_dmrg_window(psi, H, alg)
+    from ..states.finitemps import support_mask
+
     L, D = psi.length, psi.D
     psi = psi.move_center(0)
     Ws = stack_W(H, L)
     w = Ws.shape[1]
     GRs = compute_right_envs(psi.ARs, Ws, right_boundary(w, D, psi.dtype))
+    masks = jnp.asarray(support_mask(L, psi.physicaldim, D))
 
     log = IterLog("DMRG", alg.verbosity)
     log.init()
@@ -164,7 +175,7 @@ def find_groundstate_dmrg(psi: FiniteMPS, H, alg: DMRG = DMRG()):
         inner_tol = updatetol(eps, it)
         ALs, ARs, AC, GRs, lam, eps = _dmrg_sweep(
             ALs, ARs, AC, Ws, GRs, inner_tol,
-            alg.krylovdim, alg.eig_maxrestarts)
+            alg.krylovdim, alg.eig_maxrestarts, masks=masks)
         psi = FiniteMPS(ALs, ARs, AC, 0)
         if alg.finalize is not None:
             psi = alg.finalize(it, psi, H) or psi

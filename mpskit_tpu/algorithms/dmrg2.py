@@ -52,7 +52,7 @@ def _dmrg2_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
 
     def split2(theta):
         U, S, Vh, err = svd_truncated(theta.reshape(D * d, d * D), D, trscheme)
-        S = S / jnp.maximum(jnp.linalg.norm(S), 1e-300)
+        S = S / jnp.maximum(jnp.linalg.norm(S), 1e-30)
         AL = U.reshape(D, d, D)
         AR = Vh.reshape(D, d, D)
         return AL, S, AR, err

@@ -107,7 +107,7 @@ def find_groundstate_grassmann(psi: InfiniteMPS, H,
         # Polak-Ribiere beta with projection transport (re-project old
         # direction onto the new tangent space)
         beta = max(0.0, float(jnp.real(
-            jnp.vdot(g_new, g_new - g) / jnp.maximum(gnorm_prev**2, 1e-300))))
+            jnp.vdot(g_new, g_new - g) / jnp.maximum(gnorm_prev**2, 1e-30))))
 
         def project(AL, x):
             z = jnp.einsum("lpm,lpk->mk", AL.conj(), x)

@@ -149,7 +149,7 @@ def _idmrg2_iteration(ALs, ARs, AC0, Ss_prev, GLs, GRs, m: int, restarts: int,
 
     def split2(theta):
         U, S, Vh, err = svd_truncated(theta.reshape(D * d, d * D), D, trscheme)
-        S = S / jnp.maximum(jnp.linalg.norm(S), 1e-300)
+        S = S / jnp.maximum(jnp.linalg.norm(S), 1e-30)
         return U.reshape(D, d, D), S, Vh.reshape(D, d, D), err
 
     def _regC(S, dtype):

@@ -72,7 +72,7 @@ def _boundary_vumps_iteration(psi: InfiniteMPS, Os, m: int, gauge_tol: float,
     ALC = jnp.einsum("ilpm,imr->ilpr", ALs, Cs)
     # remove the global phase per site before measuring convergence
     phase = jnp.einsum("ilpr,ilpr->i", ALC.conj(), ACs)
-    phase = phase / jnp.maximum(jnp.abs(phase), 1e-300)
+    phase = phase / jnp.maximum(jnp.abs(phase), 1e-30)
     eps = jnp.max(jnp.linalg.norm(
         (ACs - phase[:, None, None, None] * ALC).reshape(L, -1), axis=1))
 
@@ -98,7 +98,7 @@ def _boundary_vomps_iteration(psi: InfiniteMPS, Os, gauge_tol: float,
     ALs = jax.vmap(regauge_ACC)(ACs, Cs)
     ALC = jnp.einsum("ilpm,imr->ilpr", ALs, Cs)
     phase = jnp.einsum("ilpr,ilpr->i", ALC.conj(), ACs)
-    phase = phase / jnp.maximum(jnp.abs(phase), 1e-300)
+    phase = phase / jnp.maximum(jnp.abs(phase), 1e-30)
     eps = jnp.max(jnp.linalg.norm(
         (ACs - phase[:, None, None, None] * ALC).reshape(L, -1), axis=1))
     psi_new = InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol)

@@ -244,7 +244,7 @@ def _timestep_finite2(ALs, ARs, AC, Ws, GRs, m: int, trscheme, dt=0.01):
 
     def split2(theta):
         U, S, Vh, _ = svd_truncated(theta.reshape(D * d, d * D), D, trscheme)
-        S = S / jnp.maximum(jnp.linalg.norm(S), 1e-300)
+        S = S / jnp.maximum(jnp.linalg.norm(S), 1e-30)
         return U.reshape(D, d, D), S, Vh.reshape(D, d, D)
 
     def stepL(carry, xs):

@@ -29,14 +29,14 @@ def entanglement_spectrum(psi, bond: int = None):
             return jnp.ones((1,), jnp.float64)
         C = p.bond_matrix()
         S = jnp.linalg.svd(C, compute_uv=False)
-        return S / jnp.maximum(jnp.linalg.norm(S), 1e-300)
+        return S / jnp.maximum(jnp.linalg.norm(S), 1e-30)
     # infinite states: singular values of C[bond]
     from ..states.infinitemps import InfiniteMPS
 
     if isinstance(psi, InfiniteMPS):
         C = psi.C[(bond if bond is not None else 0) % psi.period]
         S = jnp.linalg.svd(C, compute_uv=False)
-        return S / jnp.maximum(jnp.linalg.norm(S), 1e-300)
+        return S / jnp.maximum(jnp.linalg.norm(S), 1e-30)
     raise TypeError(type(psi))
 
 

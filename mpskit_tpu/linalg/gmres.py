@@ -50,7 +50,7 @@ def linsolve_cg(matvec, b, x0=None, tol=1e-10, maxiter: int = 200):
     def cond(state):
         _, r, _, _, k = state
         return jnp.logical_and(k < maxiter,
-                               tree_norm(r) > tol * jnp.maximum(bnorm, 1e-300))
+                               tree_norm(r) > tol * jnp.maximum(bnorm, 1e-30))
 
     def body(state):
         x, r, p, rs, k = state

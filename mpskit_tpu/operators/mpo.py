@@ -60,7 +60,7 @@ def decompose_localmpo(O: np.ndarray, tol: float = 1e-12) -> List[np.ndarray]:
     for i in range(n - 1):
         U, S, Vh = np.linalg.svd(carry.reshape(kprev * d * d, -1),
                                  full_matrices=False)
-        rank = int(np.sum(S > tol * max(S[0], 1e-300)))
+        rank = int(np.sum(S > tol * max(S[0], 1e-30)))
         rank = max(rank, 1)
         U, S, Vh = U[:, :rank], S[:rank], Vh[:rank, :]
         tensors.append(U.reshape(kprev, d, d, rank))

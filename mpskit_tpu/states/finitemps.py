@@ -36,6 +36,20 @@ def physical_bond_dims(L: int, d: int, D: int) -> np.ndarray:
     return np.array(dims)
 
 
+def support_mask(L: int, d: int, D: int) -> np.ndarray:
+    """(L, D, d, D) boolean mask of the physically supported entries of a
+    padded finite MPS. Multiplying the gauged tensors by this mask after
+    every decomposition keeps the exact-zero padding invariant — essential
+    in float32 on TPU, where low-precision matmuls and QR junk columns
+    otherwise leak amplitude into the unsupported block (which then grows
+    along the chain)."""
+    dims = physical_bond_dims(L, d, D)
+    mask = np.zeros((L, D, d, D), bool)
+    for i in range(L):
+        mask[i, : dims[i], :, : dims[i + 1]] = True
+    return mask
+
+
 @jax.tree_util.register_pytree_node_class
 @dataclasses.dataclass(frozen=True)
 class FiniteMPS:
@@ -89,7 +103,7 @@ class FiniteMPS:
                                As, reverse=True)
         AC = jnp.einsum("lm,mpr->lpr", C0, ARs[0])
         if normalize:
-            AC = AC / jnp.maximum(jnp.linalg.norm(AC), 1e-300)
+            AC = AC / jnp.maximum(jnp.linalg.norm(AC), 1e-30)
         return FiniteMPS(jnp.zeros_like(ARs), ARs, AC, 0)
 
     @staticmethod
@@ -116,7 +130,7 @@ class FiniteMPS:
     # ------------------------------------------------------------------
     def normalize(self) -> "FiniteMPS":
         n = jnp.linalg.norm(self.AC)
-        return dataclasses.replace(self, AC=self.AC / jnp.maximum(n, 1e-300))
+        return dataclasses.replace(self, AC=self.AC / jnp.maximum(n, 1e-30))
 
     def norm(self):
         return jnp.linalg.norm(self.AC)

@@ -26,7 +26,7 @@ def _left_qr_sweep(A, C_end):
     def body(C, Ai):
         CA = jnp.einsum("lm,mpr->lpr", C, Ai)
         AL, Cn = leftorth(CA)
-        Cn = Cn / jnp.maximum(jnp.linalg.norm(Cn), 1e-300)
+        Cn = Cn / jnp.maximum(jnp.linalg.norm(Cn), 1e-30)
         return Cn, (AL, Cn)
 
     C_end, (ALs, Cs) = jax.lax.scan(body, C_end, A)
@@ -39,7 +39,7 @@ def _right_lq_sweep(A, C_end):
     def body(C, Ai):
         AC = jnp.einsum("lpm,mr->lpr", Ai, C)
         Cn, AR = rightorth(AC)
-        Cn = Cn / jnp.maximum(jnp.linalg.norm(Cn), 1e-300)
+        Cn = Cn / jnp.maximum(jnp.linalg.norm(Cn), 1e-30)
         return Cn, (AR, Cn)
 
     # scan in reverse: carry C[i] -> produce C[i-1]; ys[i] = (AR[i], C[i-1])
@@ -54,7 +54,7 @@ def uniform_leftorth(A, C0, tol: float = Defaults.tolgauge,
                      maxiter: int = Defaults.gauge_maxiter,
                      eig_miniter: int = Defaults.eig_miniter):
     """Find (AL, C) with C[i-1] A[i] ∝ AL[i] C[i], AL left-isometric."""
-    C0 = C0 / jnp.maximum(jnp.linalg.norm(C0), 1e-300)
+    C0 = C0 / jnp.maximum(jnp.linalg.norm(C0), 1e-30)
     ALs, Cs, C_end = _left_qr_sweep(A, C0)
 
     def cond(state):
@@ -69,7 +69,7 @@ def uniform_leftorth(A, C0, tol: float = Defaults.tolgauge,
             res = dominant_eigs(mv_cell, C_end, 20, 1,
                                 jnp.maximum(err * err, 1e-15))
             _, R = qr_pos(res.eigenvector)
-            return R / jnp.maximum(jnp.linalg.norm(R), 1e-300)
+            return R / jnp.maximum(jnp.linalg.norm(R), 1e-30)
 
         C_eig = jax.lax.cond(it >= eig_miniter, accel, lambda C: C, C_end)
         ALs, Cs, C_end = _left_qr_sweep(A, C_eig)
@@ -87,7 +87,7 @@ def uniform_rightorth(A, C0, tol: float = Defaults.tolgauge,
                       maxiter: int = Defaults.gauge_maxiter,
                       eig_miniter: int = Defaults.eig_miniter):
     """Find (AR, C) with A[i] C[i] ∝ C[i-1] AR[i], AR right-isometric."""
-    C0 = C0 / jnp.maximum(jnp.linalg.norm(C0), 1e-300)
+    C0 = C0 / jnp.maximum(jnp.linalg.norm(C0), 1e-30)
     ARs, Cs, C_end = _right_lq_sweep(A, C0)
 
     def cond(state):
@@ -104,7 +104,7 @@ def uniform_rightorth(A, C0, tol: float = Defaults.tolgauge,
             res = dominant_eigs(mv_cell, C_end.T, 20, 1,
                                 jnp.maximum(err * err, 1e-15))
             L, _ = lq_pos(res.eigenvector.T)
-            return L / jnp.maximum(jnp.linalg.norm(L), 1e-300)
+            return L / jnp.maximum(jnp.linalg.norm(L), 1e-30)
 
         C_eig = jax.lax.cond(it >= eig_miniter, accel, lambda C: C, C_end)
         ARs, Cs, C_end = _right_lq_sweep(A, C_eig)

@@ -43,7 +43,7 @@ def qr_pos(M):
     """
     Q, R = jnp.linalg.qr(M, mode="reduced")
     d = jnp.diagonal(R)
-    phase = jnp.where(jnp.abs(d) > 1e-300, d / jnp.abs(d).astype(d.dtype), 1.0).astype(M.dtype)
+    phase = jnp.where(jnp.abs(d) > 1e-30, d / jnp.abs(d).astype(d.dtype), 1.0).astype(M.dtype)
     Q = Q * phase[None, :]
     R = R * jnp.conj(phase)[:, None]
     return Q, R
@@ -184,7 +184,7 @@ def svd_truncated(M, Dmax: int, trunc: TruncationScheme = TruncationScheme()):
 
     total = jnp.sum(S_t**2) + discarded_sq
     disc = discarded_sq + jnp.sum((S_t * (1.0 - maskf)) ** 2)
-    err = jnp.sqrt(jnp.maximum(disc, 0.0) / jnp.maximum(total, 1e-300))
+    err = jnp.sqrt(jnp.maximum(disc, 0.0) / jnp.maximum(total, 1e-30))
     return U_m, S_m, Vh_m, err
 
 

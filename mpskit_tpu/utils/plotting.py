@@ -16,7 +16,7 @@ def entanglement_plot_data(psi, bond=None):
     from ..algorithms.toolbox import entanglement_spectrum
 
     S = np.asarray(entanglement_spectrum(psi, bond))
-    S = S[S > 1e-300]
+    S = S[S > 1e-30]
     return np.sort(S)[::-1]
 
 
