@@ -24,8 +24,8 @@ L = 32          # chain length
 D = 512         # bond dimension
 d = 2           # physical dimension
 G = 1.5         # TFIM field
-KRYLOVDIM = 16  # Lanczos dimension per site solve
-RESTARTS = 1
+KRYLOVDIM = 10  # Lanczos dimension per site solve
+RESTARTS = 2
 DTYPE = jnp.float32  # MXU path; float64 available for 1e-8 parity runs
 
 CPU_REFERENCE_SWEEP_S = 20.0  # documented estimate, see module docstring
@@ -40,29 +40,35 @@ def main():
     )
     import numpy as np
 
+    from mpskit_tpu.states.finitemps import support_mask
+
     dtype = DTYPE
     H = transverse_field_ising(g=G, dtype=np.float64)
     psi = FiniteMPS.random(jax.random.PRNGKey(0), L, d, D, dtype=dtype)
     Ws = stack_W(H, L).astype(dtype)
     w = Ws.shape[1]
     GRs = compute_right_envs(psi.ARs, Ws, right_boundary(w, D, dtype))
+    masks = jnp.asarray(support_mask(L, d, D))
     inner_tol = jnp.asarray(1e-6, jnp.float32 if dtype == jnp.float32 else jnp.float64)
-
-    args = (psi.ALs, psi.ARs, psi.AC, Ws, GRs, inner_tol)
 
     # warmup/compile + one sweep to settle state; a host readback forces a
     # full device sync (block_until_ready does not block on the axon tunnel)
-    ALs, ARs, AC, GRs2, lam, eps = _dmrg_sweep(*args, KRYLOVDIM, RESTARTS)
-    _ = float(jnp.real(lam))
+    ALs, ARs, AC, GRs2, lam, eps = _dmrg_sweep(
+        psi.ALs, psi.ARs, psi.AC, Ws, GRs, inner_tol, KRYLOVDIM, RESTARTS,
+        masks=masks)
+    lam0 = float(jnp.real(lam))
+    assert np.isfinite(lam0), "benchmark sweep produced a non-finite energy"
 
     # timed sweeps from the warmed state
     n_sweeps = 3
     t0 = time.perf_counter()
     for _ in range(n_sweeps):
         ALs, ARs, AC, GRs2, lam, eps = _dmrg_sweep(
-            ALs, ARs, AC, Ws, GRs2, inner_tol, KRYLOVDIM, RESTARTS)
-    _ = float(jnp.real(lam))
+            ALs, ARs, AC, Ws, GRs2, inner_tol, KRYLOVDIM, RESTARTS,
+            masks=masks)
+    lam1 = float(jnp.real(lam))
     dt = (time.perf_counter() - t0) / n_sweeps
+    assert np.isfinite(lam1), "benchmark sweep produced a non-finite energy"
 
     print(json.dumps({
         "metric": f"dmrg_sweep_time_tfim_L{L}_D{D}_{jnp.dtype(DTYPE).name}",

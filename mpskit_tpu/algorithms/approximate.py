@@ -35,6 +35,10 @@ class FitDMRG:
 
 
 def _as_stack(O, L, dtype):
+    if isinstance(O, DenseMPO):
+        # handles ragged (size-1 edge) virtual legs by zero-padding
+        full = DenseMPO(tuple(O.site(i) for i in range(L)))
+        return full.stacked_uniform(dtype)
     return jnp.stack([O.site(i) for i in range(L)]).astype(dtype)
 
 

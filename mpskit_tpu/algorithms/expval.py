@@ -42,6 +42,34 @@ def _expval_finite_local(psi: FiniteMPS, O, site: int):
     return num / den
 
 
+def _expval_finite_densempo(psi: FiniteMPS, O: DenseMPO):
+    """<psi|O|psi> for a finite transfer MPO with (possibly ragged) edge
+    virtual legs of size 1 (reference src/operators/densempo.jl:46-71).
+    Host loop over sites: per-site shapes may differ."""
+    p = psi.move_center(0)
+    L = p.length
+    tensors = [p.AC] + [p.ARs[i] for i in range(1, L)]
+    D = p.D
+    w0 = O.site(0).shape[0]
+    env = jnp.zeros((D, w0, D), jnp.result_type(p.dtype, O.site(0).dtype))
+    env = env.at[0, 0, 0].set(1.0)
+    for i in range(L):
+        A = tensors[i]
+        Oi = O.site(i).astype(env.dtype)
+        env = jnp.einsum("xay,xsm,abst,ytn->mbn", env, A.conj(), Oi, A)
+    val = env[0, 0, 0]
+    den = jnp.vdot(p.AC, p.AC)
+    return val / den
+
+
+def infinite_temperature(H) -> DenseMPO:
+    """Identity density matrix as a DenseMPO (reference
+    src/algorithms/toolbox.jl:7-10)."""
+    d = H.physicaldim
+    eye = jnp.eye(d, dtype=H.dtype)[None, None]
+    return DenseMPO.from_array(eye, period=H.period)
+
+
 def expectation_value(psi, O, *args, envs=None):
     """expectation_value(psi, H) for MPO Hamiltonians;
     expectation_value(psi, (site, O)) for a local operator at a site;
@@ -55,6 +83,8 @@ def expectation_value(psi, O, *args, envs=None):
     if isinstance(psi, FiniteMPS):
         if isinstance(O, MPOHamiltonian):
             return _expval_finite_mpoham(psi, O, envs)
+        if isinstance(O, DenseMPO):
+            return _expval_finite_densempo(psi, O)
         if isinstance(O, tuple) and len(O) == 2:
             site, op = O
             return _expval_finite_local(psi, op, site)

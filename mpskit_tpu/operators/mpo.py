@@ -350,6 +350,18 @@ class DenseMPO:
         O = jnp.asarray(O)
         return DenseMPO(tuple([O] * period))
 
+    def stacked_uniform(self, dtype=None) -> "jnp.ndarray":
+        """(L, w, w, d, d) array with ragged edge virtual legs zero-padded
+        into a uniform width (valid entries at the leading indices; finite
+        boundary vectors select index 0 on both ends)."""
+        wmax = max(max(o.shape[0], o.shape[1]) for o in self.Os)
+        d = self.Os[0].shape[2]
+        dt = dtype or self.Os[0].dtype
+        out = jnp.zeros((len(self.Os), wmax, wmax, d, d), dt)
+        for i, o in enumerate(self.Os):
+            out = out.at[i, : o.shape[0], : o.shape[1]].set(o.astype(dt))
+        return out
+
     def __matmul__(self, other: "DenseMPO") -> "DenseMPO":
         assert self.period == other.period
         out = []

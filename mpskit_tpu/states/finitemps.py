@@ -93,17 +93,23 @@ class FiniteMPS:
         L = As.shape[0]
 
         def body(carry, A):
-            # sweep right-to-left: A <- A @ C, then split C', AR
+            # sweep right-to-left: A <- A @ C, then split C', AR. The carry
+            # is normalized per step: raw tensor norms otherwise multiply up
+            # to ~|A|^L, overflowing float32 beyond ~20 sites. The true norm
+            # is tracked in log space.
             C_right = carry
             A = jnp.einsum("lpm,mr->lpr", A, C_right)
             C, AR = rightorth(A)
-            return C, AR
+            nrm = jnp.maximum(jnp.linalg.norm(C), 1e-30)
+            return C / nrm, (AR, jnp.log(nrm))
 
-        C0, ARs = jax.lax.scan(body, jnp.eye(As.shape[1], dtype=As.dtype),
-                               As, reverse=True)
+        C0, (ARs, lognrms) = jax.lax.scan(
+            body, jnp.eye(As.shape[1], dtype=As.dtype), As, reverse=True)
         AC = jnp.einsum("lm,mpr->lpr", C0, ARs[0])
         if normalize:
             AC = AC / jnp.maximum(jnp.linalg.norm(AC), 1e-30)
+        else:
+            AC = AC * jnp.exp(jnp.sum(lognrms)).astype(AC.dtype)
         return FiniteMPS(jnp.zeros_like(ARs), ARs, AC, 0)
 
     @staticmethod
