@@ -51,23 +51,28 @@ def main():
     masks = jnp.asarray(support_mask(L, d, D))
     inner_tol = jnp.asarray(1e-6, jnp.float32 if dtype == jnp.float32 else jnp.float64)
 
-    # warmup/compile + one sweep to settle state; a host readback forces a
-    # full device sync (block_until_ready does not block on the axon tunnel)
-    ALs, ARs, AC, GRs2, lam, eps = _dmrg_sweep(
-        psi.ALs, psi.ARs, psi.AC, Ws, GRs, inner_tol, KRYLOVDIM, RESTARTS,
-        masks=masks)
-    lam0 = float(jnp.real(lam))
-    assert np.isfinite(lam0), "benchmark sweep produced a non-finite energy"
+    from mpskit_tpu.config import matmul_precision
 
-    # timed sweeps from the warmed state
-    n_sweeps = 3
-    t0 = time.perf_counter()
-    for _ in range(n_sweeps):
+    # warmup/compile + one sweep to settle state; a host readback forces a
+    # full device sync (block_until_ready does not block on the axon tunnel).
+    # The f32 path pins BF16_BF16_F32_X3 matmuls (the TPU default one-pass
+    # bf16 destabilizes the sweeps — see mpskit_tpu.config).
+    with matmul_precision(dtype):
         ALs, ARs, AC, GRs2, lam, eps = _dmrg_sweep(
-            ALs, ARs, AC, Ws, GRs2, inner_tol, KRYLOVDIM, RESTARTS,
-            masks=masks)
-    lam1 = float(jnp.real(lam))
-    dt = (time.perf_counter() - t0) / n_sweeps
+            psi.ALs, psi.ARs, psi.AC, Ws, GRs, inner_tol, KRYLOVDIM,
+            RESTARTS, masks=masks)
+        lam0 = float(jnp.real(lam))
+        assert np.isfinite(lam0), "benchmark sweep produced a non-finite energy"
+
+        # timed sweeps from the warmed state
+        n_sweeps = 3
+        t0 = time.perf_counter()
+        for _ in range(n_sweeps):
+            ALs, ARs, AC, GRs2, lam, eps = _dmrg_sweep(
+                ALs, ARs, AC, Ws, GRs2, inner_tol, KRYLOVDIM, RESTARTS,
+                masks=masks)
+        lam1 = float(jnp.real(lam))
+        dt = (time.perf_counter() - t0) / n_sweeps
     assert np.isfinite(lam1), "benchmark sweep produced a non-finite energy"
 
     print(json.dumps({

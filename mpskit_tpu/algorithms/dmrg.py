@@ -171,11 +171,14 @@ def find_groundstate_dmrg(psi: FiniteMPS, H, alg: DMRG = DMRG()):
     eps = 1.0
     lam = jnp.zeros((), jnp.zeros((), psi.dtype).real.dtype)
     it = 0
+    from ..config import matmul_precision
+
     for it in range(1, alg.maxiter + 1):
         inner_tol = updatetol(eps, it)
-        ALs, ARs, AC, GRs, lam, eps = _dmrg_sweep(
-            ALs, ARs, AC, Ws, GRs, inner_tol,
-            alg.krylovdim, alg.eig_maxrestarts, masks=masks)
+        with matmul_precision(psi.dtype):
+            ALs, ARs, AC, GRs, lam, eps = _dmrg_sweep(
+                ALs, ARs, AC, Ws, GRs, inner_tol,
+                alg.krylovdim, alg.eig_maxrestarts, masks=masks)
         psi = FiniteMPS(ALs, ARs, AC, 0)
         if alg.finalize is not None:
             psi = alg.finalize(it, psi, H) or psi

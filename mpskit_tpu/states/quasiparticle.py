@@ -153,6 +153,36 @@ class FiniteQP:
         return FiniteQP(Xs, VLs, ALs, ARs, mask)
 
 
+def qp_to_finitemps(qp: "FiniteQP") -> FiniteMPS:
+    """Convert a finite quasiparticle state into a plain FiniteMPS
+    (counterpart of reference src/states/quasiparticle_state.jl:246-341):
+    |phi> = sum_n |AL...B_n...AR> is the MPS with block site tensors
+    [[AL_n, B_n], [0, AR_n]] at bond dimension 2 D, entering in the AL
+    block and leaving in the AR block."""
+    import numpy as np
+
+    L = qp.length
+    D, d = qp.ALs.shape[1], qp.ALs.shape[2]
+    Bs = qp.bs()
+    Dn = 2 * D
+    dtype = qp.ALs.dtype
+    out = jnp.zeros((L, Dn, d, Dn), dtype)
+    for n in range(L):
+        out = out.at[n, :D, :, :D].set(qp.ALs[n])
+        out = out.at[n, :D, :, D:].set(Bs[n])
+        out = out.at[n, D:, :, D:].set(qp.ARs[n])
+    # left boundary: physical bond index 0 lives in the AL block (global 0)
+    first = out[0]
+    first = first.at[D:, :, :].set(0.0)
+    out = out.at[0].set(first)
+    # right boundary: the walk must END in the AR block, whose physical
+    # boundary index is D + 0 — remap it to global index 0
+    last = jnp.zeros((Dn, d, Dn), dtype)
+    last = last.at[:, :, 0].set(out[L - 1][:, :, D])
+    out = out.at[L - 1].set(last)
+    return FiniteMPS.from_tensors(out, normalize=False)
+
+
 def full_gauges(psi: FiniteMPS):
     """(ALs, ARs) with every site's left/right-gauged tensor valid."""
     pl = psi.move_center(psi.length - 1)
