@@ -52,14 +52,16 @@ class QuasiparticleAnsatz:
 # ----------------------------------------------------------------------------
 
 def _qp_matvec_infinite(Xs, qp_template: LeftGaugedQP, H, GLs, GRs, Es,
-                        env_tol):
-    """H_eff - E applied to the stacked X blocks."""
+                        env_tol, phase=None):
+    """H_eff - E applied to the stacked X blocks. `phase` = traced e^{-ip}
+    (optional, enables vmap over momenta)."""
     qp = dataclasses.replace(qp_template, Xs=Xs)
     L = qp.period
     Ws = jnp.stack([H.site(i) for i in range(L)]).astype(qp.left_gs.dtype)
     Bs = qp.bs()
-    lBs = qp_left_envs(qp, GLs, H, tol=env_tol)
-    rBs = qp_right_envs(qp, GRs, H, tol=env_tol)
+    lBs = qp_left_envs(qp, GLs, H, tol=env_tol, phase=phase)
+    rBs = qp_right_envs(qp, GRs, H, tol=env_tol,
+                        phase=None if phase is None else jnp.conj(phase))
 
     AL = qp.left_gs.AL
     AR = qp.right_gs.AR
@@ -141,6 +143,37 @@ def _solve_qp(qp0, H, GLs, GRs, Es, alg, num):
         es.append(res.eigenvalue)
         xs.append(res.eigenvector)
     return jnp.stack(es), xs
+
+
+def excitations_infinite_batched(H, alg: QuasiparticleAnsatz, momenta, psi,
+                                 envs=None, key=None):
+    """Momentum-batched dispersion: ONE vmapped Lanczos solve over all
+    momenta (the TPU equivalent of the reference's Threads.@spawn momentum
+    fan-out, quasiparticleexcitation.jl:94-124). Requires a complex dtype.
+    Returns energies (n_momenta,)."""
+    import numpy as np
+
+    if envs is None:
+        envs = hamiltonian_environments(psi, H)
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    assert jnp.issubdtype(psi.dtype, jnp.complexfloating), \
+        "momentum batching requires a complex dtype"
+    momenta = jnp.asarray(momenta, jnp.float64)
+    phases = jnp.exp(-1j * momenta).astype(psi.dtype)
+    qp0 = LeftGaugedQP.random(key, psi, momentum=0.0)
+    Es = _renorm_energies_infinite(psi, H, envs)
+
+    def solve_one(phase):
+        def mv(X):
+            return _qp_matvec_infinite(X, qp0, H, envs.GLs, envs.GRs, Es,
+                                       alg.env_tol, phase=phase)
+
+        res = eigsh_smallest(mv, qp0.Xs, alg.krylovdim, alg.maxrestarts,
+                             alg.tol)
+        return res.eigenvalue
+
+    return jax.vmap(solve_one)(phases)
 
 
 # ----------------------------------------------------------------------------

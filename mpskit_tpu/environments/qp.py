@@ -47,8 +47,10 @@ def _src_row_right(env, Wrow, A_ket, A_bra):
     return jnp.einsum("xsm,ysm->xy", A_bra.conj(), t)
 
 
-def qp_left_envs(qp, GLs, H: MPOHamiltonian, tol=1e-10):
-    """lBs (L, w, D, D). GLs are the left ground-state (left_gs) envs."""
+def qp_left_envs(qp, GLs, H: MPOHamiltonian, tol=1e-10, phase=None):
+    """lBs (L, w, D, D). GLs are the left ground-state (left_gs) envs.
+    `phase` (e^{-ip}, traced) overrides the QP's static momentum — used by
+    the momentum-batched excitation solver."""
     L = qp.period
     D = qp.left_gs.D
     w = H.odim
@@ -57,7 +59,8 @@ def qp_left_envs(qp, GLs, H: MPOHamiltonian, tol=1e-10):
     AL = qp.left_gs.AL
     AR = qp.right_gs.AR
     Bs = qp.bs()
-    phase = _phase(-qp.momentum, dtype)
+    if phase is None:
+        phase = _phase(-qp.momentum, dtype)
 
     # caps at bond left of site i: built from C[i-1]
     C_prev = jnp.roll(qp.left_gs.C, 1, axis=0)
@@ -113,7 +116,7 @@ def qp_left_envs(qp, GLs, H: MPOHamiltonian, tol=1e-10):
     return lBs
 
 
-def qp_right_envs(qp, GRs, H: MPOHamiltonian, tol=1e-10):
+def qp_right_envs(qp, GRs, H: MPOHamiltonian, tol=1e-10, phase=None):
     """rBs (L, w, D, D). GRs are the right ground-state (right_gs) envs."""
     L = qp.period
     D = qp.left_gs.D
@@ -123,7 +126,8 @@ def qp_right_envs(qp, GRs, H: MPOHamiltonian, tol=1e-10):
     AL = qp.left_gs.AL
     AR = qp.right_gs.AR
     Bs = qp.bs()
-    phase = _phase(qp.momentum, dtype)
+    if phase is None:
+        phase = _phase(qp.momentum, dtype)
 
     # caps at bond right of site i: built from C[i]
     l_caps = jnp.conj(jnp.swapaxes(qp.left_gs.C, 1, 2))   # l_LR[i] = C^dag
