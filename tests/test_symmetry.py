@@ -1,0 +1,79 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpskit_tpu.models import heisenberg_XXX
+from mpskit_tpu.models.spins import spinmatrices
+from mpskit_tpu.states import FiniteMPS
+from mpskit_tpu.algorithms import DMRG, find_groundstate_dmrg, expectation_value
+from mpskit_tpu.symmetry.charges import (
+    SymmetricFiniteMPS, find_groundstate_symmetric,
+    sector_entanglement_spectrum,
+)
+
+
+def _sz_total(psi):
+    Sz = np.diag([0.5, -0.5])
+    return sum(float(np.real(complex(expectation_value(psi, (i, Sz)))))
+               for i in range(psi.length))
+
+
+def _ed_sector_energy(H, L, sz2_total):
+    """Lowest eigenvalue in the sector sum(2 Sz_i) = sz2_total."""
+    M = H.to_matrix(L)
+    # basis state k: bit i set -> charge +1 else -1 (matching kron order:
+    # site 0 is the most significant factor)
+    charges = np.zeros(2**L, int)
+    for k in range(2**L):
+        c = 0
+        for i in range(L):
+            bit = (k >> (L - 1 - i)) & 1
+            c += 1 if bit == 0 else -1  # basis index 0 = spin up
+        charges[k] = c
+    idx = np.where(charges == sz2_total)[0]
+    sub = M[np.ix_(idx, idx)]
+    return float(np.linalg.eigvalsh(sub)[0])
+
+
+def test_u1_groundstate_matches_dense():
+    L, D = 8, 16
+    H = heisenberg_XXX(spin=0.5)
+    spsi = SymmetricFiniteMPS.random(jax.random.PRNGKey(0), L, [1, -1], D,
+                                     total=0)
+    spsi, envs, eps = find_groundstate_symmetric(
+        spsi, H, DMRG(tol=1e-9, maxiter=60))
+    E_sym = float(expectation_value(spsi.state, H, envs=envs))
+    E_ed = _ed_sector_energy(H, L, 0)
+    assert abs(E_sym - E_ed) < 1e-7
+    # exact charge conservation
+    assert abs(_sz_total(spsi.state)) < 1e-9
+
+
+def test_u1_charged_sector():
+    # lowest state with Sz_tot = 1 (magnon sector)
+    L, D = 8, 16
+    H = heisenberg_XXX(spin=0.5)
+    spsi = SymmetricFiniteMPS.random(jax.random.PRNGKey(1), L, [1, -1], D,
+                                     total=2)
+    spsi, envs, eps = find_groundstate_symmetric(
+        spsi, H, DMRG(tol=1e-9, maxiter=60))
+    E_sym = float(expectation_value(spsi.state, H, envs=envs))
+    E_ed = _ed_sector_energy(H, L, 2)
+    assert abs(E_sym - E_ed) < 1e-7
+    assert abs(_sz_total(spsi.state) - 1.0) < 1e-9
+
+
+def test_sector_entanglement():
+    L, D = 8, 16
+    H = heisenberg_XXX(spin=0.5)
+    spsi = SymmetricFiniteMPS.random(jax.random.PRNGKey(2), L, [1, -1], D,
+                                     total=0)
+    spsi, envs, _ = find_groundstate_symmetric(
+        spsi, H, DMRG(tol=1e-9, maxiter=50))
+    spec = sector_entanglement_spectrum(spsi, L // 2)
+    allvals = np.concatenate(list(spec.values()))
+    total = float(np.sum(allvals**2))
+    np.testing.assert_allclose(total, 1.0, atol=1e-8)
+    # singlet ground state: the q=0 sector dominates the middle bond
+    assert max(spec, key=lambda q: np.max(spec[q])) == 0
