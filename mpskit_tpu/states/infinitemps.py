@@ -88,6 +88,15 @@ class InfiniteMPS:
             A = jax.random.normal(key, shape, dtype)
         return InfiniteMPS.from_A(A)
 
+    def repeat(self, n: int) -> "InfiniteMPS":
+        """Tile the unit cell n times (reference PeriodicArray repeat)."""
+        return InfiniteMPS(
+            jnp.tile(self.AL, (n, 1, 1, 1)),
+            jnp.tile(self.AR, (n, 1, 1, 1)),
+            jnp.tile(self.AC, (n, 1, 1, 1)),
+            jnp.tile(self.C, (n, 1, 1)),
+        )
+
     # ------------------------------------------------------------------
     # mixed-gauge fixed points (reference src/states/infinitemps.jl:300-358:
     # l_LL/r_RR etc.). Index convention: [bra, ket].
