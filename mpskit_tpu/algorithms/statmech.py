@@ -49,10 +49,12 @@ class VOMPS:
 
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def _boundary_vumps_iteration(psi: InfiniteMPS, Os, m: int, gauge_tol: float,
-                              env_tol: float, inner_tol=1e-6):
+                              env_tol: float, inner_tol=1e-6,
+                              GL_guess=None, GR_guess=None):
     L = psi.period
     O_mpo = DenseMPO(tuple(Os[i] for i in range(L)))
-    envs = mpo_environments(psi, O_mpo, tol=env_tol, krylovdim=m)
+    envs = mpo_environments(psi, O_mpo, tol=env_tol, krylovdim=m,
+                            GL0=GL_guess, GR0=GR_guess)
     GL_next = jnp.roll(envs.GLs, -1, axis=0)
 
     def solve_ac(GL, Oi, GR, AC):
@@ -77,7 +79,7 @@ def _boundary_vumps_iteration(psi: InfiniteMPS, Os, m: int, gauge_tol: float,
         (ACs - phase[:, None, None, None] * ALC).reshape(L, -1), axis=1))
 
     psi_new = InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol)
-    return psi_new, eps
+    return psi_new, eps, envs.GLs[0], envs.GRs[L - 1]
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -106,12 +108,16 @@ def _boundary_vomps_iteration(psi: InfiniteMPS, Os, gauge_tol: float,
 
 
 def leading_boundary(psi, O, alg=None):
-    """Boundary fixed point of a transfer MPO. Accepts an InfiniteMPS with a
-    DenseMPO (or 1-row MPOMultiline). Returns (psi, envs, eps)."""
+    """Boundary fixed point of a transfer MPO. Accepts an InfiniteMPS with
+    a DenseMPO, or an MPSMultiline with an MPOMultiline (rows coupled
+    cyclically, reference src/algorithms/statmech/vumps.jl:20-84).
+    Returns (psi, envs, eps)."""
     if alg is None:
         alg = VUMPS_Boundary()
+    if isinstance(psi, MPSMultiline) or (
+            isinstance(O, MPOMultiline) and O.nrows > 1):
+        return _leading_boundary_multiline(psi, O, alg)
     if isinstance(O, MPOMultiline):
-        assert O.nrows == 1, "multi-row boundaries not yet supported"
         O = O.rows[0]
     assert isinstance(psi, InfiniteMPS)
     L = psi.period
@@ -120,14 +126,18 @@ def leading_boundary(psi, O, alg=None):
 
     log = IterLog("leading_boundary", alg.verbosity)
     eps = 1.0
+    GLg = GRg = None
     for it in range(1, alg.maxiter + 1):
         if isinstance(alg, VOMPS):
             psi, eps = _boundary_vomps_iteration(
                 psi, Os, alg.gauge_tol, 1e-12)
         else:
             inner_tol = updatetol(eps, it)
-            psi, eps = _boundary_vumps_iteration(
-                psi, Os, alg.krylovdim, alg.gauge_tol, 1e-12, inner_tol)
+            # previous-iteration fixed points seed the env eigensolves
+            # (reference permpoinfenv.jl:44-63 guess reuse)
+            psi, eps, GLg, GRg = _boundary_vumps_iteration(
+                psi, Os, alg.krylovdim, alg.gauge_tol, 1e-12, inner_tol,
+                GL_guess=GLg, GR_guess=GRg)
         eps = float(eps)
         if alg.verbosity >= VERBOSE_ITER:
             log.conv(it, 0.0, eps)
@@ -137,4 +147,92 @@ def leading_boundary(psi, O, alg=None):
         log.cancel(alg.maxiter, 0.0, eps)
 
     envs = mpo_environments(psi, DenseMPO(tuple(Os[i] for i in range(L))))
+    return psi, envs, eps
+
+
+# ----------------------------------------------------------------------------
+# multi-row Multiline boundaries (reference statmech/vumps.jl:20-84:
+# per-column updates of a RecursiveVec of row ACs, rows coupled r -> r+1)
+# ----------------------------------------------------------------------------
+
+def _leading_boundary_multiline(psi, O, alg):
+    from ..states.multiline import MPSMultiline
+
+    if isinstance(psi, InfiniteMPS):
+        psi = MPSMultiline.from_mps(psi, O.nrows)
+    R = psi.nrows
+    L = psi.period
+    assert isinstance(O, MPOMultiline) and O.nrows == R
+    dtype = psi.rows[0].dtype
+    Os = [jnp.stack([O.row(r).site(i) for i in range(L)]).astype(dtype)
+          for r in range(R)]
+
+    log = IterLog("leading_boundary_multiline", alg.verbosity)
+    eps = 1.0
+    guesses = [(None, None)] * R
+    for it in range(1, alg.maxiter + 1):
+        env_tol = max(float(updatetol(eps, it)) * 1e-2, 1e-12)
+        # per-row mixed environments: ket = row r, bra = row r+1, seeded
+        # with the previous iteration's fixed points
+        envs = [mpo_environments(psi.rows[r], O.row(r),
+                                 psi_bra=psi.rows[(r + 1) % R], tol=env_tol,
+                                 GL0=guesses[r][0], GR0=guesses[r][1])
+                for r in range(R)]
+        guesses = [(e.GLs[0], e.GRs[L - 1]) for e in envs]
+        GLs = jnp.stack([e.GLs for e in envs])   # (R, L, w, D, D)
+        GRs = jnp.stack([e.GRs for e in envs])
+        ACs = jnp.stack([p.AC for p in psi.rows])  # (R, L, D, d, D)
+        Cs = jnp.stack([p.C for p in psi.rows])
+        Osr = jnp.stack(Os)
+
+        # coupled eigenproblem: applying the row-r transfer maps row r to
+        # row r+1; solve for the dominant fixed point of the cycle
+        def mv_ac(x):
+            def one(GL_r, O_r, GR_r, x_r):
+                return jax.vmap(ac_apply)(GL_r, O_r, GR_r, x_r)
+
+            y = jax.vmap(one)(GLs, Osr, GRs, x)
+            return jnp.roll(y, 1, axis=0)
+
+        def mv_c(x):
+            GL_next = jnp.roll(GLs, -1, axis=1)
+
+            def one(GLn_r, GR_r, x_r):
+                return jax.vmap(c_apply)(GLn_r, GR_r, x_r)
+
+            y = jax.vmap(one)(GL_next, GRs, x)
+            return jnp.roll(y, 1, axis=0)
+
+        inner_tol = float(updatetol(eps, it))
+        resA = dominant_eigs(mv_ac, ACs, alg.krylovdim, 20, inner_tol)
+        resC = dominant_eigs(mv_c, Cs, alg.krylovdim, 20, inner_tol)
+        ACs_n, Cs_n = resA.eigenvector, resC.eigenvector
+
+        rows_new = []
+        eps_rows = []
+        for r in range(R):
+            ACr = ACs_n[r] / jnp.linalg.norm(
+                ACs_n[r].reshape(L, -1), axis=1)[:, None, None, None]
+            Cr = Cs_n[r] / jnp.linalg.norm(
+                Cs_n[r].reshape(L, -1), axis=1)[:, None, None]
+            ALs = jax.vmap(regauge_ACC)(ACr, Cr)
+            ALC = jnp.einsum("ilpm,imr->ilpr", ALs, Cr)
+            phase = jnp.einsum("ilpr,ilpr->i", ALC.conj(), ACr)
+            phase = phase / jnp.maximum(jnp.abs(phase), 1e-30)
+            eps_rows.append(float(jnp.max(jnp.linalg.norm(
+                (ACr - phase[:, None, None, None] * ALC).reshape(L, -1),
+                axis=1))))
+            rows_new.append(InfiniteMPS.from_AL(ALs, tol=alg.gauge_tol))
+        psi = MPSMultiline(tuple(rows_new))
+        eps = max(eps_rows)
+        if alg.verbosity >= VERBOSE_ITER:
+            log.conv(it, 0.0, eps)
+        if eps < alg.tol:
+            break
+    else:
+        log.cancel(alg.maxiter, 0.0, eps)
+
+    envs = [mpo_environments(psi.rows[r], O.row(r),
+                             psi_bra=psi.rows[(r + 1) % R])
+            for r in range(R)]
     return psi, envs, eps

@@ -15,7 +15,6 @@ pairing(v, cap) = einsum('xy,xy->'); caps from InfiniteMPS.rho_right/left.
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 
 import jax
 import jax.numpy as jnp

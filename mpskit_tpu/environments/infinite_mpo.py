@@ -10,7 +10,6 @@ computed with on-device Arnoldi, then normalized so that
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp
@@ -19,8 +18,6 @@ from ..states.infinitemps import InfiniteMPS
 from ..operators.mpo import DenseMPO
 from ..transfermatrix.transfer import transfer_left_mpo, transfer_right_mpo
 from ..linalg.arnoldi import dominant_eigs
-from .infinite_ham import pairing
-from ..algorithms.derivatives import c_apply
 
 
 @jax.tree_util.register_pytree_node_class

@@ -4,7 +4,7 @@ solves; src/algorithms/excitation/exci_transfer_system.jl)."""
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

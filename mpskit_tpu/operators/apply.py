@@ -7,8 +7,6 @@ compression back to the target bond dimension. Infinite: fused application
 
 from __future__ import annotations
 
-import numpy as np
-import jax
 import jax.numpy as jnp
 
 from .mpo import DenseMPO

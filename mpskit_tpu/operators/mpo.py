@@ -19,7 +19,7 @@ level w-1 = "identity to the right"; W[0,0] = W[w-1,w-1] = 1.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Tuple
 
 import numpy as np
 import jax

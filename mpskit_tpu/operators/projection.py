@@ -9,7 +9,7 @@ sum_i c_i O_i (reference src/utility/linearcombination.jl:1-7).
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Sequence, Tuple
+from typing import Any, Tuple
 
 
 @dataclasses.dataclass(frozen=True)

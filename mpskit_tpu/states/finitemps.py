@@ -20,14 +20,11 @@ bond dimension shard over a device mesh.
 from __future__ import annotations
 
 import dataclasses
-from typing import Tuple
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from ..tensors.ops import leftorth, rightorth
-from ..utils.tree import tree_randn_like
 
 
 def physical_bond_dims(L: int, d: int, D: int) -> np.ndarray:

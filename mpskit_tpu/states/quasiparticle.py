@@ -159,8 +159,6 @@ def qp_to_finitemps(qp: "FiniteQP") -> FiniteMPS:
     |phi> = sum_n |AL...B_n...AR> is the MPS with block site tensors
     [[AL_n, B_n], [0, AR_n]] at bond dimension 2 D, entering in the AL
     block and leaving in the AR block."""
-    import numpy as np
-
     L = qp.length
     D, d = qp.ALs.shape[1], qp.ALs.shape[2]
     Bs = qp.bs()

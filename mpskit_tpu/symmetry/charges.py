@@ -24,7 +24,7 @@ sectors are large enough to tile individually.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 import numpy as np
 import jax

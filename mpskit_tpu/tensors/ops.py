@@ -24,10 +24,8 @@ Replaces (cf. reference usage sites):
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional
 
-import jax
 import jax.numpy as jnp
 
 

@@ -12,7 +12,7 @@ import ctypes
 import functools
 import os
 import subprocess
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import numpy as np
 

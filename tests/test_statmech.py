@@ -25,10 +25,10 @@ def test_classical_ising_vumps():
 
 def test_classical_ising_vomps():
     O = classical_ising()
-    psi = InfiniteMPS.random(jax.random.PRNGKey(1), 1, 2, 12)
-    psi, envs, eps = leading_boundary(psi, O, VOMPS(tol=1e-8, maxiter=800))
+    psi = InfiniteMPS.random(jax.random.PRNGKey(1), 1, 2, 8)
+    psi, envs, eps = leading_boundary(psi, O, VOMPS(tol=1e-7, maxiter=350))
     lam = complex(expectation_value(psi, O, envs=envs))
-    assert abs(lam.real - 2.5337) < 1e-3
+    assert abs(lam.real - 2.5337) < 2e-3
 
 
 def test_sixvertex_runs():
