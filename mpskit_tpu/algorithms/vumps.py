@@ -41,8 +41,10 @@ class VUMPS:
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _vumps_iteration(psi: InfiniteMPS, H, m: int, restarts: int,
-                     gauge_tol: float, env_tol_static: float, inner_tol=1e-6):
-    """One VUMPS iteration: returns (psi', envs', eps)."""
+                     gauge_tol: float, env_tol_static: float, inner_tol=1e-6,
+                     A_mask=None, C_mask=None):
+    """One VUMPS iteration: returns (psi', eps). Optional A/C masks enforce
+    charge-sector (and support) structure after every decomposition."""
     L = psi.period
     envs = hamiltonian_environments(psi, H, tol=env_tol_static)
     Ws = jnp.stack([H.site(i) for i in range(L)]).astype(psi.dtype)
@@ -61,15 +63,28 @@ def _vumps_iteration(psi: InfiniteMPS, H, m: int, restarts: int,
     GL_next = jnp.roll(envs.GLs, -1, axis=0)  # GLs[i+1] for bond i
     ACs = jax.vmap(solve_ac)(envs.GLs, Ws, envs.GRs, psi.AC)
     Cs = jax.vmap(solve_c)(GL_next, envs.GRs, psi.C)
+    if A_mask is not None:
+        ACs = ACs * A_mask.astype(ACs.dtype)
+        ACs = ACs / jnp.linalg.norm(
+            ACs.reshape(L, -1), axis=1)[:, None, None, None]
+        Cs = Cs * C_mask.astype(Cs.dtype)
+        Cs = Cs / jnp.linalg.norm(Cs.reshape(L, -1), axis=1)[:, None, None]
 
     # regauge AC, C -> AL (reference vumps.jl:77-92 + ortho.jl:127-131)
     ALs = jax.vmap(regauge_ACC)(ACs, Cs)
+    if A_mask is not None:
+        ALs = ALs * A_mask.astype(ALs.dtype)
 
     # convergence measure: |AC - AL C| per site
     ALC = jnp.einsum("ilpm,imr->ilpr", ALs, Cs)
     eps = jnp.max(jnp.linalg.norm((ACs - ALC).reshape(L, -1), axis=1))
 
     psi_new = InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol)
+    if A_mask is not None:
+        Am = A_mask.astype(psi_new.AL.dtype)
+        Cm = C_mask.astype(psi_new.C.dtype)
+        psi_new = InfiniteMPS(psi_new.AL * Am, psi_new.AR * Am,
+                              psi_new.AC * Am, psi_new.C * Cm)
     return psi_new, eps
 
 

@@ -158,6 +158,149 @@ class SymmetricFiniteMPS:
                                   tuple(int(q) for q in phys_charges))
 
 
+def _labels_from_counts(counts: dict, D: int) -> np.ndarray:
+    tot = sum(counts.values())
+    order = sorted(counts, key=lambda q: -counts[q])
+    alloc = {}
+    for q in order:
+        alloc[q] = max(1, int(round(D * counts[q] / tot)))
+    while sum(alloc.values()) > D:
+        q = min((x for x in alloc if alloc[x] > 0), key=lambda x: counts[x])
+        alloc[q] -= 1
+        if alloc[q] == 0:
+            del alloc[q]
+    while sum(alloc.values()) < D:
+        for q in order:
+            if q in alloc and sum(alloc.values()) < D:
+                alloc[q] += 1
+    lab = np.zeros(D, int)
+    pos = 0
+    for q in sorted(alloc, key=lambda q: -alloc[q]):
+        lab[pos: pos + alloc[q]] = q
+        pos += alloc[q]
+    return lab
+
+
+def uniform_bond_charges_cell(L: int, D: int, phys_charges: Sequence[int],
+                              window: int = None) -> List[np.ndarray]:
+    """Charge labels for the L bonds of a uniform unit cell (bond i sits to
+    the right of site i). Sector dimensions follow the path-count
+    distribution of a half-window. When every physical charge is odd (e.g.
+    spin-1/2 with charges ±1) the bond parity alternates site by site, so
+    L must be even and the labels alternate parity."""
+    phys = np.asarray(phys_charges, int)
+    if window is None:
+        window = max(2, int(np.ceil(np.log(D) / np.log(len(phys)))) + 2)
+    window += window % 2  # even window -> parity-0 counts
+
+    def counts_after(n):
+        counts = {0: 1.0}
+        for _ in range(n):
+            new = {}
+            for q, m in counts.items():
+                for p in phys:
+                    new[q + p] = new.get(q + p, 0.0) + m
+            counts = new
+        return counts
+
+    all_odd = bool(np.all(phys % 2 != 0))
+    even_lab = _labels_from_counts(counts_after(window), D)
+    if not all_odd:
+        return [even_lab.copy() for _ in range(L)]
+    assert L % 2 == 0, \
+        "odd physical charges need an even unit cell (alternating parity)"
+    odd_lab = _labels_from_counts(counts_after(window + 1), D)
+    # bond i has parity (i+1) mod 2 relative to bond L-1 (even by choice)
+    return [odd_lab.copy() if i % 2 == 0 else even_lab.copy()
+            for i in range(L)]
+
+
+@dataclasses.dataclass(frozen=True)
+class SymmetricInfiniteMPS:
+    """A uniform MPS constrained to an abelian sector: per-bond static
+    charge labels over the unit cell (zero net charge flux per cell)."""
+
+    state: "object"
+    bond_charges: Tuple[np.ndarray, ...]  # L arrays (D,), bond i right of site i
+    phys_charges: Tuple[int, ...]
+
+    @property
+    def masks(self):
+        """(A_mask (L, D, d, D), C_mask (L, D, D))."""
+        return uniform_charge_masks(list(self.bond_charges),
+                                    self.phys_charges)
+
+    @staticmethod
+    def random(key, L: int, phys_charges: Sequence[int], D: int,
+               dtype=jnp.complex128) -> "SymmetricInfiniteMPS":
+        from ..states.infinitemps import InfiniteMPS
+
+        d = len(phys_charges)
+        bonds = uniform_bond_charges_cell(L, D, phys_charges)
+        A_mask, C_mask = uniform_charge_masks(bonds, phys_charges)
+        if jnp.issubdtype(dtype, jnp.complexfloating):
+            rdt = jnp.zeros((), dtype).real.dtype
+            k1, k2 = jax.random.split(key)
+            A = (jax.random.normal(k1, (L, D, d, D), rdt)
+                 + 1j * jax.random.normal(k2, (L, D, d, D), rdt)).astype(dtype)
+        else:
+            A = jax.random.normal(key, (L, D, d, D), dtype)
+        A = A * jnp.asarray(A_mask)
+        psi = InfiniteMPS.from_A(A)
+        Am = jnp.asarray(A_mask).astype(dtype)
+        Cm = jnp.asarray(C_mask).astype(dtype)
+        psi = InfiniteMPS(psi.AL * Am, psi.AR * Am, psi.AC * Am,
+                          psi.C * Cm)
+        return SymmetricInfiniteMPS(psi, tuple(bonds),
+                                    tuple(int(q) for q in phys_charges))
+
+
+def uniform_charge_masks(bond_charges: List[np.ndarray],
+                         phys_charges: Sequence[int]):
+    """(A_mask (L, D, d, D), C_mask (L, D, D)) for the unit-cell bonds.
+    Site i's left bond is bond (i-1) mod L."""
+    L = len(bond_charges)
+    D = bond_charges[0].shape[0]
+    phys = np.asarray(phys_charges, int)
+    d = len(phys)
+    A = np.zeros((L, D, d, D), bool)
+    C = np.zeros((L, D, D), bool)
+    for i in range(L):
+        cl = bond_charges[(i - 1) % L]
+        cr = bond_charges[i]
+        A[i] = (cl[:, None, None] + phys[None, :, None]) == cr[None, None, :]
+        C[i] = cr[:, None] == cr[None, :]
+    return A, C
+
+
+def find_groundstate_symmetric_infinite(spsi: SymmetricInfiniteMPS, H,
+                                        alg=None):
+    """Sector-constrained VUMPS. Returns (SymmetricInfiniteMPS, envs, eps)."""
+    from ..algorithms.vumps import VUMPS, _vumps_iteration
+    from ..environments.infinite_ham import hamiltonian_environments
+    from ..utils.dynamictols import updatetol
+    from ..config import matmul_precision
+
+    if alg is None:
+        alg = VUMPS()
+    psi = spsi.state
+    A_mask, C_mask = spsi.masks
+    A_mask = jnp.asarray(A_mask)
+    C_mask = jnp.asarray(C_mask)
+    eps = 1.0
+    for it in range(1, alg.maxiter + 1):
+        inner_tol = updatetol(eps, it)
+        with matmul_precision(psi.dtype):
+            psi, eps = _vumps_iteration(
+                psi, H, alg.krylovdim, alg.eig_maxrestarts, alg.gauge_tol,
+                1e-12, inner_tol, A_mask=A_mask, C_mask=C_mask)
+        eps = float(eps)
+        if eps < alg.tol:
+            break
+    envs = hamiltonian_environments(psi, H)
+    return dataclasses.replace(spsi, state=psi), envs, eps
+
+
 def find_groundstate_symmetric(spsi: SymmetricFiniteMPS, H, alg=None):
     """Charge-sector DMRG: the conservation masks ride the same masking
     hook as the rank-support masks. Returns (SymmetricFiniteMPS, envs, eps).

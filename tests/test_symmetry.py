@@ -77,3 +77,39 @@ def test_sector_entanglement():
     np.testing.assert_allclose(total, 1.0, atol=1e-8)
     # singlet ground state: the q=0 sector dominates the middle bond
     assert max(spec, key=lambda q: np.max(spec[q])) == 0
+
+
+def test_u1_infinite_vumps():
+    # sector-constrained VUMPS on the infinite XXZ chain conserves Sz and
+    # matches the dense ground energy density
+    from mpskit_tpu.symmetry.charges import (
+        SymmetricInfiniteMPS, find_groundstate_symmetric_infinite,
+    )
+    from mpskit_tpu.states.infinitemps import InfiniteMPS
+    from mpskit_tpu.algorithms.vumps import VUMPS, find_groundstate_vumps
+
+    H = heisenberg_XXX(spin=0.5)  # 4 * S.S ; e0 = 1 - 4 ln 2
+    D = 16
+    # odd physical charges alternate bond parity: 2-site unit cell
+    spsi = SymmetricInfiniteMPS.random(jax.random.PRNGKey(0), 2, [1, -1], D)
+    spsi, envs, eps = find_groundstate_symmetric_infinite(
+        spsi, H, VUMPS(tol=1e-8, maxiter=200))
+    e_sym = float(np.mean(np.asarray(
+        expectation_value(spsi.state, H, envs=envs))))
+
+    # exact Bethe-ansatz density for H = 4 sum S.S: e0 = 1 - 4 ln 2
+    e_exact = 1 - 4 * np.log(2)
+    assert abs(e_sym - e_exact) < 2e-3
+    # block structure of C is exact (per-bond masks)
+    Amask, Cmask = spsi.masks
+    for i in range(2):
+        off = np.asarray(spsi.state.C[i]) * (~Cmask[i])
+        assert float(np.max(np.abs(off))) < 1e-12
+    # cell-averaged magnetization vanishes (per-site values may show a
+    # small staggered component at finite D)
+    Sz = np.diag([0.5, -0.5])
+    from mpskit_tpu.algorithms.expval_infinite import expval_infinite_local
+
+    mz = np.mean([complex(expval_infinite_local(spsi.state, Sz, i)).real
+                  for i in range(2)])
+    assert abs(mz) < 1e-6
