@@ -62,6 +62,10 @@ def _expval_finite_densempo(psi: FiniteMPS, O: DenseMPO):
     return val / den
 
 
+def _w_ac(GL, W, GR, AC):
+    return ac_apply(GL, W, GR, AC)
+
+
 def infinite_temperature(H) -> DenseMPO:
     """Identity density matrix as a DenseMPO (reference
     src/algorithms/toolbox.jl:7-10)."""
@@ -97,6 +101,25 @@ def expectation_value(psi, O, *args, envs=None):
             site, op = O
             return _expval_finite_local(psi, op, site)
         raise TypeError(f"unsupported operator type {type(O)} for FiniteMPS")
+
+    from ..states.windowmps import WindowMPS
+
+    if isinstance(psi, WindowMPS):
+        if isinstance(O, tuple) and len(O) == 2:
+            return expectation_value(psi.window, O)
+        if isinstance(O, MPOHamiltonian):
+            # window energy against the infinite boundary environments
+            from ..environments.finite import compute_right_envs, stack_W
+
+            win = psi.window.move_center(0)
+            L, D = win.length, win.D
+            Ws = stack_W(O, L).astype(win.dtype)
+            GL0, GRL = psi.boundary_envs(O)
+            GRs = compute_right_envs(win.ARs, Ws, GRL)
+            num = jnp.vdot(win.AC, _w_ac(GL0, Ws[0], GRs[1], win.AC))
+            den = jnp.vdot(win.AC, win.AC)
+            return jnp.real(num / den)
+        raise TypeError(f"unsupported operator type {type(O)} for WindowMPS")
 
     from ..states.infinitemps import InfiniteMPS
 
