@@ -34,6 +34,18 @@ class FitDMRG:
     verbosity: int = Defaults.verbosity
 
 
+@dataclasses.dataclass(frozen=True)
+class FitDMRG2:
+    """Two-site fitting sweeps with truncated re-splitting (the
+    reference's approximate-DMRG2, approximate/fvomps.jl two-site path):
+    adapts the Schmidt content of psi while fitting O . phi."""
+
+    tol: float = 1e-10
+    maxiter: int = 60
+    trscheme: object = None
+    verbosity: int = Defaults.verbosity
+
+
 def _as_stack(O, L, dtype):
     if isinstance(O, DenseMPO):
         # handles ragged (size-1 edge) virtual legs by zero-padding
@@ -84,6 +96,70 @@ def _fit_sweep(ALs, ARs, AC, Os, phiA, GRs, GL0, GRL):
     GRs = jnp.concatenate([GR_first[None], GRs_scan], axis=0)
     AC = ACsR[0]
     return ALs, ARs, AC, GRs
+
+
+@jax.jit
+def _fit2_sweep(ALs, ARs, AC, Os, phiA, GRs, GL0, GRL, trmask_dim):
+    """Two-site fitting sweep: theta_i <- GLmix W_i W_{i+1} GRmix theta^phi,
+    SVD re-split (masked truncation via trmask_dim as a static width is
+    handled by svd_truncated's Dmax = D)."""
+    from ..tensors.ops import svd_truncated, notrunc
+    from .derivatives import ac2_apply
+
+    L, D = ALs.shape[0], ALs.shape[1]
+    d = ALs.shape[2]
+    dtype = AC.dtype
+    phiAL, phiAR, phiAC = phiA
+
+    def split2(theta):
+        U, S, Vh, _ = svd_truncated(theta.reshape(D * d, d * D), D, notrunc())
+        S = S / jnp.maximum(jnp.linalg.norm(S), 1e-30)
+        return U.reshape(D, d, D), S, Vh.reshape(D, d, D)
+
+    def stepL(carry, xs):
+        GL = carry
+        W1, W2, phiAC_i, phiAR_n, phiAL_i, GR_next2 = xs
+        theta_phi = jnp.einsum("lpm,mqr->lpqr", phiAC_i, phiAR_n)
+        theta = ac2_apply(GL, W1, W2, GR_next2, theta_phi)
+        theta = theta / jnp.maximum(jnp.linalg.norm(theta), 1e-30)
+        AL, S, AR = split2(theta)
+        GL_next = transfer_left_mpo(GL, W1, phiAL_i, AL)
+        return GL_next, (AL, GL)
+
+    xsL = (Os[: L - 1], Os[1:], phiAC[: L - 1], phiAR[1:], phiAL[: L - 1],
+           GRs[2:])
+    GL_last, (ALs_n, GLs_scan) = jax.lax.scan(stepL, GL0, xsL)
+    ALs = ALs.at[: L - 1].set(ALs_n)
+    GLs = jnp.concatenate([GLs_scan, GL_last[None]], axis=0)
+
+    def stepR(carry, xs):
+        GR = carry
+        W1, W2, phiAC_n, phiAL_i, phiAR_n, GL_i = xs
+        theta_phi = jnp.einsum("lpm,mqr->lpqr", phiAL_i, phiAC_n)
+        theta = ac2_apply(GL_i, W1, W2, GR, theta_phi)
+        theta = theta / jnp.maximum(jnp.linalg.norm(theta), 1e-30)
+        AL, S, AR = split2(theta)
+        GR_prev = transfer_right_mpo(GR, W2, phiAR_n, AR)
+        ACs = jnp.einsum("lpm,m->lpm", AL, S)
+        return GR_prev, (AR, ACs)
+
+    xsR = (Os[: L - 1], Os[1:], phiAC[1:], phiAL[: L - 1], phiAR[1:],
+           GLs[: L - 1])
+    GR_first, (ARs_n, ACs_mid) = jax.lax.scan(stepR, GRL, xsR, reverse=True)
+    ARs = ARs.at[1:].set(ARs_n)
+    AC = ACs_mid[0]
+    return ALs, ARs, AC
+
+
+def _mixed_right_envs_fit(phiAR, ARs, Os, GRL):
+    """Right mixed environments (ket = target phi, bra = current psi)."""
+
+    def body(GR, xs):
+        Ak, Ab, W = xs
+        return transfer_right_mpo(GR, W, Ak, Ab), GR
+
+    GR_first, GRs = jax.lax.scan(body, GRL, (phiAR, ARs, Os), reverse=True)
+    return jnp.concatenate([GR_first[None], GRs], axis=0)
 
 
 def _identity_mpo(d, L, dtype):
@@ -143,14 +219,18 @@ def _approximate_finite(psi: FiniteMPS, O, phi: FiniteMPS, alg):
     GRL = jnp.zeros((w, D, D), dtype).at[right_level, 0, 0].set(1.0)
     GL0 = jnp.zeros((w, D, D), dtype).at[0, 0, 0].set(1.0)
 
-    from ..environments.finite import compute_right_envs
-
-    GRs = compute_right_envs(ARs, Os, GRL)
+    GRs = _mixed_right_envs_fit(phiA[1], ARs, Os, GRL)
     prev = None
     eps = 1.0
+    two_site = isinstance(alg, FitDMRG2)
     for it in range(alg.maxiter):
-        ALs, ARs, AC, GRs = _fit_sweep(ALs, ARs, AC, Os, phiA, GRs, GL0, GRL)
-        ov = jnp.abs(jnp.vdot(AC, AC))
+        if two_site:
+            ALs, ARs, AC = _fit2_sweep(ALs, ARs, AC, Os, phiA, GRs, GL0,
+                                       GRL, 0)
+            GRs = _mixed_right_envs_fit(phiA[1], ARs, Os, GRL)
+        else:
+            ALs, ARs, AC, GRs = _fit_sweep(ALs, ARs, AC, Os, phiA, GRs,
+                                           GL0, GRL)
         if prev is not None:
             eps = float(jnp.linalg.norm(AC - prev))
         prev = AC

@@ -82,3 +82,19 @@ def test_approximate_mpo_application():
     n1 = complex(psi.dot(psi)) ** 0.5
     n2 = complex(target.dot(target)) ** 0.5
     assert abs(abs(ov / (n1 * n2)) - 1) < 1e-6
+
+
+def test_fitdmrg2():
+    from mpskit_tpu.algorithms.approximate import FitDMRG2
+
+    N, D = 6, 12
+    O = finite_classical_ising(N)
+    phi = FiniteMPS.random(jax.random.PRNGKey(3), N, 2, D)
+    target = apply_densempo_finite(O, phi, Dmax=D)
+    psi0 = FiniteMPS.random(jax.random.PRNGKey(4), N, 2, D)
+    psi, _, eps = approximate(psi0, (O, phi),
+                              FitDMRG2(tol=1e-10, maxiter=40))
+    ov = complex(psi.dot(target))
+    n1 = complex(psi.dot(psi)) ** 0.5
+    n2 = complex(target.dot(target)) ** 0.5
+    assert abs(abs(ov / (n1 * n2)) - 1) < 1e-6
