@@ -61,6 +61,17 @@ from .algorithms import (
     exact_diagonalization, periodic_boundary_conditions, make_time_mpo,
 )
 
+# abelian symmetry (charge-sector states)
+from .symmetry import (
+    SymmetricFiniteMPS,
+    sector_entanglement_spectrum,
+)
+from .symmetry.charges import (
+    SymmetricInfiniteMPS,
+    find_groundstate_symmetric,
+    find_groundstate_symmetric_infinite,
+)
+
 # models (fixtures / model zoo)
 from . import models
 

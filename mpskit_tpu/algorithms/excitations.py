@@ -244,10 +244,20 @@ def excitations_finite(H, alg: QuasiparticleAnsatz, psi: FiniteMPS,
 def excitations(H, alg, *args, **kwargs):
     """excitations(H, QuasiparticleAnsatz(), momenta, psi_inf, ...) or
     excitations(H, QuasiparticleAnsatz(), psi_finite, ...) or
-    excitations(H, FiniteExcited(), psi_finite, ...)."""
+    excitations(H, FiniteExcited(), psi_finite, ...) or
+    excitations(O_dense, QuasiparticleAnsatz(), momenta, psi_boundary, ...)
+    for statmech transfer MPOs."""
     from .dmrgexcitation import FiniteExcited, excitations_dmrg
+    from ..operators.mpo import DenseMPO
 
     if isinstance(alg, QuasiparticleAnsatz):
+        if isinstance(H, DenseMPO):
+            from .excitations_statmech import excitations_boundary
+
+            return excitations_boundary(
+                H, args[0], args[1],
+                **{k: v for k, v in kwargs.items()
+                   if k in ("envs", "key", "krylovdim", "tol")})
         if isinstance(args[0], FiniteMPS):
             return excitations_finite(H, alg, *args, **kwargs)
         return excitations_infinite(H, alg, *args, **kwargs)
