@@ -32,7 +32,13 @@ from .derivatives import ac_apply
 
 @dataclasses.dataclass(frozen=True)
 class DMRG:
-    """One-site DMRG parameters (reference dmrg.jl:14-20)."""
+    """One-site DMRG parameters (reference dmrg.jl:14-20).
+
+    fast_qr: use CholeskyQR2 for the gauge moves at full-rank bulk sites.
+    EXPERIMENTAL and off by default: on v5e at float32 the measured sweep
+    time matched Householder once the Gram regularization was made
+    numerically safe, and the jitter costs ~1e-3 relative energy accuracy.
+    Kept as an opt-in for future tuning (larger D may favor it)."""
 
     tol: float = 1e-10
     maxiter: int = Defaults.maxiter
@@ -40,6 +46,21 @@ class DMRG:
     eig_maxrestarts: int = 10
     verbosity: int = Defaults.verbosity
     finalize: Optional[Callable] = None
+    fast_qr: Optional[bool] = None
+
+
+def bulk_rank_flags(L: int, d: int, D: int):
+    """(bulkL, bulkR) boolean flags: site i's left/right orthogonalization
+    panel is full rank D (safe for CholeskyQR2)."""
+    import numpy as np
+    from ..states.finitemps import physical_bond_dims
+
+    dims = physical_bond_dims(L, d, D)
+    bulkL = np.array([(dims[i] * d >= D) and (dims[i + 1] == D)
+                      for i in range(L)])
+    bulkR = np.array([(dims[i] == D) and (dims[i + 1] * d >= D)
+                      for i in range(L)])
+    return jnp.asarray(bulkL), jnp.asarray(bulkR)
 
 
 def _galerkin_left(AL, y):
@@ -57,7 +78,7 @@ def _galerkin_right(AR, y):
 
 @partial(jax.jit, static_argnums=(6, 7))
 def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
-                GL0=None, GRL=None, masks=None):
+                GL0=None, GRL=None, masks=None, bulk_flags=None):
     """One full DMRG sweep (L2R over sites 0..L-2, R2L over L-1..1),
     starting and ending with center = 0. Returns updated tensors, fresh
     right environments, the last eigenvalue and the max Galerkin residual.
@@ -74,23 +95,28 @@ def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
     if masks is None:
         masks = jnp.ones((L, 1, 1, 1), dtype=jnp.bool_)
     maskf = masks.astype(dtype)
+    if bulk_flags is None:
+        bulkL = bulkR = jnp.zeros((L,), jnp.bool_)
+    else:
+        bulkL, bulkR = bulk_flags
+    from ..tensors.ops import leftorth_hybrid, rightorth_hybrid
 
     # ---- left-to-right: solve sites 0..L-2 ----
     def stepL(carry, xs):
         AC, GL = carry
-        W, AR_next, GR_next, mk = xs
+        W, AR_next, GR_next, mk, bk = xs
         res = eigsh_smallest(
             lambda x: ac_apply(GL, W, GR_next, x), AC, m, restarts, inner_tol)
         ACp = res.eigenvector * mk
         ACp = ACp / jnp.maximum(jnp.linalg.norm(ACp), 1e-30)
-        AL, C = leftorth(ACp)
+        AL, C = leftorth_hybrid(ACp, bk)
         AL = AL * mk
         eps = _galerkin_left(AL, ac_apply(GL, W, GR_next, ACp))
         GL_next = transfer_left_mpo(GL, W, AL, AL)
         AC_next = jnp.einsum("lm,mpr->lpr", C, AR_next)
         return (AC_next, GL_next), (AL, GL, res.eigenvalue, eps)
 
-    xsL = (Ws[: L - 1], ARs[1:], GRs[1:L], maskf[: L - 1])
+    xsL = (Ws[: L - 1], ARs[1:], GRs[1:L], maskf[: L - 1], bulkL[: L - 1])
     (AC, GL_last), (ALs_new, GLs_scan, lamsL, epsL) = jax.lax.scan(
         stepL, (AC, GL0), xsL)
     ALs = ALs.at[: L - 1].set(ALs_new)
@@ -100,19 +126,19 @@ def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
     # ---- right-to-left: solve sites L-1..1 ----
     def stepR(carry, xs):
         AC, GR = carry
-        W, AL_prev, GL_i, mk = xs
+        W, AL_prev, GL_i, mk, bk = xs
         res = eigsh_smallest(
             lambda x: ac_apply(GL_i, W, GR, x), AC, m, restarts, inner_tol)
         ACp = res.eigenvector * mk
         ACp = ACp / jnp.maximum(jnp.linalg.norm(ACp), 1e-30)
-        C, AR = rightorth(ACp)
+        C, AR = rightorth_hybrid(ACp, bk)
         AR = AR * mk
         eps = _galerkin_right(AR, ac_apply(GL_i, W, GR, ACp))
         GR_prev = transfer_right_mpo(GR, W, AR, AR)
         AC_prev = jnp.einsum("lpm,mr->lpr", AL_prev, C)
         return (AC_prev, GR_prev), (AR, GR, res.eigenvalue, eps)
 
-    xsR = (Ws[1:], ALs[: L - 1], GLs[1:], maskf[1:])
+    xsR = (Ws[1:], ALs[: L - 1], GLs[1:], maskf[1:], bulkR[1:])
     (AC, GR_last), (ARs_new, GRs_scan, lamsR, epsR) = jax.lax.scan(
         stepR, (AC, GRL), xsR, reverse=True)
     ARs = ARs.at[1:].set(ARs_new)
@@ -164,6 +190,8 @@ def find_groundstate_dmrg(psi: FiniteMPS, H, alg: DMRG = DMRG()):
     w = Ws.shape[1]
     GRs = compute_right_envs(psi.ARs, Ws, right_boundary(w, D, psi.dtype))
     masks = jnp.asarray(support_mask(L, psi.physicaldim, D))
+    fast = bool(alg.fast_qr)
+    bulk_flags = bulk_rank_flags(L, psi.physicaldim, D) if fast else None
 
     log = IterLog("DMRG", alg.verbosity)
     log.init()
@@ -178,7 +206,8 @@ def find_groundstate_dmrg(psi: FiniteMPS, H, alg: DMRG = DMRG()):
         with matmul_precision(psi.dtype):
             ALs, ARs, AC, GRs, lam, eps = _dmrg_sweep(
                 ALs, ARs, AC, Ws, GRs, inner_tol,
-                alg.krylovdim, alg.eig_maxrestarts, masks=masks)
+                alg.krylovdim, alg.eig_maxrestarts, masks=masks,
+                bulk_flags=bulk_flags)
         psi = FiniteMPS(ALs, ARs, AC, 0)
         if alg.finalize is not None:
             psi = alg.finalize(it, psi, H) or psi

@@ -53,6 +53,54 @@ def lq_pos(M):
     return jnp.conj(Rh.T), jnp.conj(Qh.T)
 
 
+def cholesky_qr2(M, jitter: float = None):
+    """CholeskyQR2: matmul-shaped thin QR for (near-)full-rank matrices —
+    MUCH faster than Householder on the MXU. R has a real positive diagonal
+    by construction (same convention as qr_pos). The Gram matrix is
+    Tikhonov-regularized at `jitter` * ||M||_F^2 (an upper bound on its
+    largest eigenvalue) so the factorization stays positive definite at
+    finite precision: singular directions below ~sqrt(jitter)*||M|| come
+    out as noise — use only on full-rank panels (the hybrid sweeps keep
+    Householder at rank-deficient chain edges)."""
+    import jax
+
+    n = M.shape[1]
+    rdt = jnp.zeros((), M.dtype).real.dtype
+    if jitter is None:
+        # cholesky needs lambda_min/lambda_max >~ n * unit_roundoff
+        jitter = 3e-5 if jnp.finfo(rdt).bits == 32 else 1e-12
+    total_sq = jnp.real(jnp.sum(jnp.abs(M) ** 2))
+    eps = (jitter * total_sq).astype(rdt)
+    eye = jnp.eye(n, dtype=M.dtype)
+    G = jnp.conj(M.T) @ M + eps * eye
+    R1 = jnp.linalg.cholesky(G, upper=True)
+    Q1 = jax.lax.linalg.triangular_solve(R1, M, left_side=False, lower=False)
+    G2 = jnp.conj(Q1.T) @ Q1 + jitter * eye
+    R2 = jnp.linalg.cholesky(G2, upper=True)
+    Q = jax.lax.linalg.triangular_solve(R2, Q1, left_side=False, lower=False)
+    return Q, R2 @ R1
+
+
+def leftorth_hybrid(A, full_rank):
+    """leftorth with a runtime choice: CholeskyQR2 when `full_rank` (bulk
+    sites, MXU-friendly), Householder otherwise (exact at padded edges)."""
+    import jax
+
+    l, p, r = A.shape
+    M = A.reshape(l * p, r)
+    Q, R = jax.lax.cond(full_rank, cholesky_qr2, qr_pos, M)
+    return Q.reshape(l, p, r), R
+
+
+def rightorth_hybrid(A, full_rank):
+    import jax
+
+    l, p, r = A.shape
+    M = jnp.conj(A.reshape(l, p * r).T)
+    Q, R = jax.lax.cond(full_rank, cholesky_qr2, qr_pos, M)
+    return jnp.conj(R.T), jnp.conj(Q.T).reshape(l, p, r)
+
+
 def leftorth(A):
     """MPS tensor (l, p, r) -> (AL, C): A = AL @ C with AL left-isometric.
 
