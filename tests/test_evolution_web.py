@@ -1,0 +1,51 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from mpskit_tpu.models import transverse_field_ising
+from mpskit_tpu.states import FiniteMPS
+from mpskit_tpu.algorithms import DMRG, find_groundstate_dmrg
+from mpskit_tpu.algorithms.tdvp import TDVP, TDVP2, timestep
+from mpskit_tpu.algorithms.timeevmpo import make_time_mpo, WI, WII
+from mpskit_tpu.operators.apply import apply_densempo_finite
+from mpskit_tpu.algorithms.approximate import approximate, FitDMRG
+
+
+def _ov(a, b):
+    na = complex(a.dot(a)) ** 0.5
+    nb = complex(b.dot(b)) ** 0.5
+    return abs(complex(a.dot(b)) / (na * nb))
+
+
+def test_evolution_method_consistency():
+    """Cross-check web over evolution methods (reference
+    test/algorithms.jl:445-510): TDVP, TDVP2, WII-apply and WII+fit must
+    all produce (nearly) the same state after a short quench."""
+    L, D, dt = 8, 24, 0.03
+    H0 = transverse_field_ising(g=2.0)
+    H1 = transverse_field_ising(g=0.8)
+    psi0 = FiniteMPS.random(jax.random.PRNGKey(0), L, 2, D)
+    psi0, _, _ = find_groundstate_dmrg(psi0, H0, DMRG(tol=1e-10, maxiter=50))
+    psi0 = FiniteMPS(psi0.ALs.astype(jnp.complex128),
+                     psi0.ARs.astype(jnp.complex128),
+                     psi0.AC.astype(jnp.complex128), psi0.center)
+
+    # method 1: one-site TDVP
+    a, _ = timestep(psi0, H1, 0.0, dt, TDVP())
+    # method 2: two-site TDVP
+    b, _ = timestep(psi0, H1, 0.0, dt, TDVP2())
+    # method 3: WII evolution MPO, apply + truncate
+    U = make_time_mpo(H1, dt, WII())
+    c = apply_densempo_finite(U, psi0, Dmax=D).normalize()
+    # method 4: WII MPO + variational fit
+    d0 = FiniteMPS.random(jax.random.PRNGKey(1), L, 2, D,
+                          dtype=jnp.complex128)
+    d, _, _ = approximate(d0, (U, psi0), FitDMRG(tol=1e-10, maxiter=40))
+
+    # all pairwise overlaps ~ 1 (errors O(dt^2 L) between schemes)
+    tol = 20 * dt**2 * L
+    assert 1 - _ov(a, b) < tol
+    assert 1 - _ov(a, c) < tol
+    assert 1 - _ov(b, c) < tol
+    assert 1 - _ov(c, d) < 1e-6  # same operator, two compressions
