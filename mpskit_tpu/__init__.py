@@ -38,7 +38,10 @@ from .linalg import (
 
 # states
 from .states import (
-    FiniteMPS, InfiniteMPS, WindowMPS, MPSMultiline, LeftGaugedQP, FiniteQP,
+    FiniteMPS, InfiniteMPS, WindowMPS, MPSMultiline, LeftGaugedQP,
+    RightGaugedQP, FiniteQP, FiniteQPRight,
+    left_to_right_gauge, right_to_left_gauge,
+    finite_left_to_right_gauge, finite_right_to_left_gauge,
 )
 
 # operators

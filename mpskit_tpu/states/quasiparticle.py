@@ -80,6 +80,50 @@ class LeftGaugedQP:
                             right_gs is None)
 
 
+def right_null_spaces(ARs):
+    """VRs (L, D(d-1), d, D) for stacked right-isometric tensors."""
+    from ..tensors.ops import rightnull
+
+    return jax.vmap(rightnull)(ARs)
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class RightGaugedQP:
+    """Infinite quasiparticle in the right gauge (reference
+    src/states/quasiparticle_state.jl RightGaugedQP): B_i = X_i VR_i with
+    VR_i the right null space of AR_i, so B_i AR_i^dag = 0 automatically.
+    Obtained from a LeftGaugedQP via
+    :func:`mpskit_tpu.states.qp_gauge.left_to_right_gauge`."""
+
+    Xs: jnp.ndarray        # (L, D, D(d-1))
+    VRs: jnp.ndarray       # (L, D(d-1), d, D)
+    left_gs: InfiniteMPS
+    right_gs: InfiniteMPS
+    momentum: float        # static aux (hashable)
+    trivial: bool          # static aux
+
+    def tree_flatten(self):
+        return (self.Xs, self.VRs, self.left_gs, self.right_gs), \
+            (self.momentum, self.trivial)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(children[0], children[1], children[2], children[3],
+                   aux[0], aux[1])
+
+    @property
+    def period(self) -> int:
+        return self.Xs.shape[0]
+
+    def __len__(self):
+        return self.period
+
+    def bs(self):
+        """Site excitation tensors B_i = X_i VR_i, (L, D, d, D)."""
+        return jnp.einsum("ilk,ikpr->ilpr", self.Xs, self.VRs)
+
+
 def finite_null_spaces(ALs, D: int, d: int):
     """Rank-aware null spaces for a padded finite MPS: per site the
     complement is taken within the *physically supported* (bl*d, br) block
@@ -153,7 +197,63 @@ class FiniteQP:
         return FiniteQP(Xs, VLs, ALs, ARs, mask)
 
 
-def qp_to_finitemps(qp: "FiniteQP") -> FiniteMPS:
+def finite_right_null_spaces(ARs, D: int, d: int):
+    """Rank-aware right null spaces for a padded finite MPS: per site the
+    complement is taken within the supported (bl, d*br) block of AR.
+    Returns (VRs (L, Dn, d, D), mask (L, D, Dn)) where mask marks the
+    supported entries of the right-gauge parameters X (D, Dn)."""
+    from .finitemps import physical_bond_dims
+
+    L = ARs.shape[0]
+    dims = physical_bond_dims(L, d, D)
+    widths = [d * int(dims[i + 1]) - int(dims[i]) for i in range(L)]
+    Dn = max(widths + [1])
+    VRs, mask = [], jnp.zeros((L, D, Dn), bool)
+    for i in range(L):
+        bl, br = int(dims[i]), int(dims[i + 1])
+        wi = widths[i]
+        Vp = jnp.zeros((Dn, d, D), ARs.dtype)
+        if wi > 0:
+            M = ARs[i][:bl, :, :br].reshape(bl, d * br)
+            Q, _ = jnp.linalg.qr(jnp.conj(M.T), mode="complete")
+            V = jnp.conj(Q[:, bl:].T).reshape(wi, d, br)
+            Vp = Vp.at[:wi, :, :br].set(V)
+            mask = mask.at[i, :bl, :wi].set(True)
+        VRs.append(Vp)
+    return jnp.stack(VRs), mask
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class FiniteQPRight:
+    """Finite-chain quasiparticle in the right gauge: B_i = X_i VR_i with
+    B_i AR_i^dag = 0 (counterpart of reference RightGaugedQP on finite
+    chains). Same embedding |phi> = sum_n |AL...B_n...AR> as FiniteQP."""
+
+    Xs: jnp.ndarray    # (L, D, Dn)
+    VRs: jnp.ndarray   # (L, Dn, d, D)
+    ALs: jnp.ndarray
+    ARs: jnp.ndarray
+    mask: jnp.ndarray  # (L, D, Dn) bool
+
+    def tree_flatten(self):
+        return (self.Xs, self.VRs, self.ALs, self.ARs, self.mask), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def length(self):
+        return self.Xs.shape[0]
+
+    def bs(self):
+        return jnp.einsum("ilk,ikpr->ilpr",
+                          self.Xs * self.mask.astype(self.Xs.dtype),
+                          self.VRs)
+
+
+def qp_to_finitemps(qp) -> FiniteMPS:
     """Convert a finite quasiparticle state into a plain FiniteMPS
     (counterpart of reference src/states/quasiparticle_state.jl:246-341):
     |phi> = sum_n |AL...B_n...AR> is the MPS with block site tensors
