@@ -56,9 +56,10 @@ class TDVP2:
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
 def _timestep_infinite(psi: InfiniteMPS, H, dt, m: int, gauge_tol: float,
-                       env_tol: float):
+                       env_tol: float, env_guess=None):
     L = psi.period
-    envs = hamiltonian_environments(psi, H, tol=env_tol)
+    envs = hamiltonian_environments(psi, H, tol=env_tol,
+                                    env_init=env_guess)
     Ws = jnp.stack([H.site(i) for i in range(L)]).astype(psi.dtype)
     tau = -1j * dt
 
@@ -75,7 +76,7 @@ def _timestep_infinite(psi: InfiniteMPS, H, dt, m: int, gauge_tol: float,
     Cs = Cs / jnp.linalg.norm(Cs.reshape(L, -1), axis=1)[:, None, None]
 
     ALs = jax.vmap(regauge_ACC)(ACs, Cs)
-    return InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol)
+    return InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol), envs
 
 
 # ----------------------------------------------------------------------------
@@ -164,9 +165,11 @@ def timestep(psi, H, t, dt, alg=None, envs=None):
         alg = TDVP()
 
     if isinstance(psi, InfiniteMPS):
-        psi = _timestep_infinite(psi, H, dt, alg.expalg_m, alg.gauge_tol,
-                                 alg.env_tol)
-        return psi, None
+        # envs from the previous step warm-start the environment solves
+        psi, envs = _timestep_infinite(psi, H, dt, alg.expalg_m,
+                                       alg.gauge_tol, alg.env_tol,
+                                       env_guess=envs)
+        return psi, envs
 
     if isinstance(psi, FiniteMPS):
         if isinstance(alg, TDVP2):

@@ -25,7 +25,7 @@ def time_evolve(psi, H, t_span: Sequence[float], alg=None, envs=None,
     for t0, t1 in zip(t_span[:-1], t_span[1:]):
         dt = t1 - t0
         if isinstance(alg, (TDVP, TDVP2)):
-            psi, out_envs = timestep(psi, H, t0, dt, alg)
+            psi, out_envs = timestep(psi, H, t0, dt, alg, envs=out_envs)
         elif isinstance(alg, (WII, TaylorCluster)):
             U = make_time_mpo(H, dt, alg)
             from ..operators.apply import apply_densempo_finite

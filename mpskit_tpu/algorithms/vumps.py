@@ -42,11 +42,14 @@ class VUMPS:
 @partial(jax.jit, static_argnums=(2, 3, 4, 5))
 def _vumps_iteration(psi: InfiniteMPS, H, m: int, restarts: int,
                      gauge_tol: float, env_tol_static: float, inner_tol=1e-6,
-                     A_mask=None, C_mask=None):
-    """One VUMPS iteration: returns (psi', eps). Optional A/C masks enforce
-    charge-sector (and support) structure after every decomposition."""
+                     A_mask=None, C_mask=None, env_guess=None):
+    """One VUMPS iteration: returns (psi', eps, envs). Optional A/C masks
+    enforce charge-sector (and support) structure after every
+    decomposition; `env_guess` (the previous iteration's environments)
+    warm-starts the geometric-series GMRES solves."""
     L = psi.period
-    envs = hamiltonian_environments(psi, H, tol=env_tol_static)
+    envs = hamiltonian_environments(psi, H, tol=env_tol_static,
+                                    env_init=env_guess)
     Ws = jnp.stack([H.site(i) for i in range(L)]).astype(psi.dtype)
 
     # batched local eigensolves over the unit cell (site-parallel, P1)
@@ -85,7 +88,7 @@ def _vumps_iteration(psi: InfiniteMPS, H, m: int, restarts: int,
         Cm = C_mask.astype(psi_new.C.dtype)
         psi_new = InfiniteMPS(psi_new.AL * Am, psi_new.AR * Am,
                               psi_new.AC * Am, psi_new.C * Cm)
-    return psi_new, eps
+    return psi_new, eps, envs
 
 
 def find_groundstate_vumps(psi: InfiniteMPS, H, alg: VUMPS = VUMPS()):
@@ -93,11 +96,12 @@ def find_groundstate_vumps(psi: InfiniteMPS, H, alg: VUMPS = VUMPS()):
     log = IterLog("VUMPS", alg.verbosity)
     eps = 1.0
     it = 0
+    env_guess = None
     for it in range(1, alg.maxiter + 1):
         inner_tol = updatetol(eps, it)
-        psi, eps = _vumps_iteration(
+        psi, eps, env_guess = _vumps_iteration(
             psi, H, alg.krylovdim, alg.eig_maxrestarts, alg.gauge_tol,
-            1e-12, inner_tol)
+            1e-12, inner_tol, env_guess=env_guess)
         if alg.finalize is not None:
             psi = alg.finalize(it, psi, H) or psi
         eps = float(eps)
@@ -108,5 +112,5 @@ def find_groundstate_vumps(psi: InfiniteMPS, H, alg: VUMPS = VUMPS()):
     else:
         log.cancel(it, 0.0, eps)
 
-    envs = hamiltonian_environments(psi, H)
+    envs = hamiltonian_environments(psi, H, env_init=env_guess)
     return psi, envs, eps

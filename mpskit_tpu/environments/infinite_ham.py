@@ -122,6 +122,10 @@ def calc_lw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12, GL_init=None):
         zero = jnp.zeros((D, D), dtype)
         F, _ = cycle(zero)
         kind = H.diag_class[b]
+        # warm start from a previous iteration's environment (same linear
+        # system up to the slowly-moving state; GMRES converges in fewer
+        # restart cycles near the fixed point)
+        guess = None if GL_init is None else GL_init[0, b].astype(dtype)
         if kind == DIAG_ZERO:
             x0 = F
         elif kind == DIAG_IDENTITY:
@@ -134,9 +138,12 @@ def calc_lw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12, GL_init=None):
                 Tx = diag_cycle(x)
                 return Tx - pairing(Tx, cap) * eye
 
-            x0 = linsolve(matvec_reg, F_reg, a0=1.0, a1=-1.0, tol=tol)
+            if guess is not None:
+                guess = guess - pairing(guess, cap) * eye
+            x0 = linsolve(matvec_reg, F_reg, x0=guess, a0=1.0, a1=-1.0,
+                          tol=tol)
         else:  # DIAG_SCALAR / DIAG_GENERAL: spectral radius assumed < 1
-            x0 = linsolve(diag_cycle, F, a0=1.0, a1=-1.0, tol=tol)
+            x0 = linsolve(diag_cycle, F, x0=guess, a0=1.0, a1=-1.0, tol=tol)
 
         # propagate around the cell to fill every bond
         _, xs_all = cycle(x0)
@@ -154,7 +161,7 @@ def calc_lw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12, GL_init=None):
     return GLs, e_cell
 
 
-def calc_rw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12):
+def calc_rw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12, GR_init=None):
     """Right environments in the AR gauge. Returns (GRs (L, w, D, D), e_cell)."""
     L, D, d = psi.period, psi.D, psi.physicaldim
     w = H.odim
@@ -197,6 +204,7 @@ def calc_rw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12):
         zero = jnp.zeros((D, D), dtype)
         F, _ = cycle(zero)
         kind = H.diag_class[a]
+        guess = None if GR_init is None else GR_init[L - 1, a].astype(dtype)
         if kind == DIAG_ZERO:
             x0 = F
         elif kind == DIAG_IDENTITY:
@@ -208,9 +216,12 @@ def calc_rw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12):
                 Tx = diag_cycle(x)
                 return Tx - pairing(Tx, cap) * eye
 
-            x0 = linsolve(matvec_reg, F_reg, a0=1.0, a1=-1.0, tol=tol)
+            if guess is not None:
+                guess = guess - pairing(guess, cap) * eye
+            x0 = linsolve(matvec_reg, F_reg, x0=guess, a0=1.0, a1=-1.0,
+                          tol=tol)
         else:
-            x0 = linsolve(diag_cycle, F, a0=1.0, a1=-1.0, tol=tol)
+            x0 = linsolve(diag_cycle, F, x0=guess, a0=1.0, a1=-1.0, tol=tol)
 
         _, xs_all = cycle(x0)
         # reverse scan: processing site i used GR at bond i (right of site i)
@@ -227,11 +238,17 @@ def calc_rw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12):
 
 
 def hamiltonian_environments(psi: InfiniteMPS, H: MPOHamiltonian,
-                             tol=1e-12) -> InfiniteHamEnv:
+                             tol=1e-12, env_init=None) -> InfiniteHamEnv:
     """Compute both environment families. The `GRs[i]`/`GLs[i]` convention:
     the effective Hamiltonian at site i uses (GLs[i], GRs[i]); the zero-site
-    (bond i) derivative uses (GLs[i+1], GRs[i])."""
-    GLs, eL = calc_lw(psi, H, tol)
-    GRs, eR = calc_rw(psi, H, tol)
+    (bond i) derivative uses (GLs[i+1], GRs[i]).
+
+    `env_init` (a previous InfiniteHamEnv) warm-starts the geometric-series
+    GMRES solves (reference MPSKit.jl recalculates environments in place for
+    the same reason, mpohaminfenv.jl recalculate!)."""
+    GL0 = None if env_init is None else env_init.GLs
+    GR0 = None if env_init is None else env_init.GRs
+    GLs, eL = calc_lw(psi, H, tol, GL_init=GL0)
+    GRs, eR = calc_rw(psi, H, tol, GR_init=GR0)
     e = jnp.real(eL) / psi.period
     return InfiniteHamEnv(GLs, GRs, e)

@@ -4,6 +4,12 @@ A Krylov basis over pytree vectors is stored as the same pytree with an
 extra leading axis of (static) length m. Gram-Schmidt projections then become
 single einsums per leaf — large, batched, MXU-friendly — instead of loops
 over basis vectors.
+
+Plays the role of KrylovKit.jl's OrthonormalBasis (the reference delegates
+all Krylov linear algebra to KrylovKit, cf. reference Project.toml and
+src/algorithms/groundstate/vumps.jl eigsolve calls); redesigned here as
+fixed-shape stacked arrays so the whole basis lives on-device and every
+reorthogonalization is one batched matmul.
 """
 
 from __future__ import annotations

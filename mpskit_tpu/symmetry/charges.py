@@ -288,16 +288,18 @@ def find_groundstate_symmetric_infinite(spsi: SymmetricInfiniteMPS, H,
     A_mask = jnp.asarray(A_mask)
     C_mask = jnp.asarray(C_mask)
     eps = 1.0
+    env_guess = None
     for it in range(1, alg.maxiter + 1):
         inner_tol = updatetol(eps, it)
         with matmul_precision(psi.dtype):
-            psi, eps = _vumps_iteration(
+            psi, eps, env_guess = _vumps_iteration(
                 psi, H, alg.krylovdim, alg.eig_maxrestarts, alg.gauge_tol,
-                1e-12, inner_tol, A_mask=A_mask, C_mask=C_mask)
+                1e-12, inner_tol, A_mask=A_mask, C_mask=C_mask,
+                env_guess=env_guess)
         eps = float(eps)
         if eps < alg.tol:
             break
-    envs = hamiltonian_environments(psi, H)
+    envs = hamiltonian_environments(psi, H, env_init=env_guess)
     return dataclasses.replace(spsi, state=psi), envs, eps
 
 
