@@ -107,6 +107,92 @@ def _boundary_vomps_iteration(psi: InfiniteMPS, Os, gauge_tol: float,
     return psi_new, eps
 
 
+@partial(jax.jit, static_argnums=(2,))
+def _boundary_value_and_gradient(psi: InfiniteMPS, Os, env_tol: float,
+                                 GL0=None, GR0=None):
+    """Free-energy objective f = -(1/L) sum_i log|lambda_i| and its tangent
+    gradient over the AL Grassmann manifold (reference grassmann.jl applied
+    to the statmech cost, cf. gradient_grassmann.jl leading_boundary
+    method). Environments are treated as self-consistent fixed points, so
+    the gradient is the local derivative -(T^AC AC) C^dag / conj(lambda),
+    preconditioned with inv(rho) and projected horizontally — zero exactly
+    at the VUMPS fixed point."""
+    L = psi.period
+    O_mpo = DenseMPO(tuple(Os[i] for i in range(L)))
+    envs = mpo_environments(psi, O_mpo, tol=env_tol, GL0=GL0, GR0=GR0)
+
+    def site(GL, Oi, GR, AC, AL, C):
+        y = ac_apply(GL, Oi, GR, AC)
+        lam = jnp.einsum("lpr,lpr->", AC.conj(), y)   # local Rayleigh quotient
+        G = -jnp.einsum("lpr,mr->lpm", y, C.conj()) / lam.conj()
+        rho = C @ C.conj().T
+        delta = 1e-12 + 1e-3 * jnp.linalg.norm(G) ** 2
+        rho_reg = rho + delta * jnp.eye(rho.shape[0], dtype=rho.dtype)
+        G = jnp.linalg.solve(rho_reg.T, G.reshape(-1, rho.shape[0]).T).T \
+            .reshape(G.shape)
+        z = jnp.einsum("lpm,lpk->mk", AL.conj(), G)
+        return lam, G - jnp.einsum("lpm,mk->lpk", AL, z)
+
+    lams, grads = jax.vmap(site)(envs.GLs, Os, envs.GRs, psi.AC, psi.AL,
+                                 psi.C)
+    f = -jnp.sum(jnp.log(jnp.abs(lams))) / L
+    return f, grads, envs.GLs[0], envs.GRs[L - 1]
+
+
+def _leading_boundary_grassmann(psi: InfiniteMPS, Os, alg):
+    """Riemannian conjugate-gradient maximization of the leading transfer
+    eigenvalue (the GradientGrassmann method of reference
+    find_groundstate/leading_boundary)."""
+    from .grassmann import _retract
+
+    log = IterLog("GradGrassmann", alg.verbosity)
+    GLg = GRg = None
+    f, g, GLg, GRg = _boundary_value_and_gradient(psi, Os, 1e-12)
+    f = float(jnp.real(f))
+    direction = jax.tree_util.tree_map(lambda x: -x, g)
+    gnorm_prev = float(jnp.linalg.norm(g))
+    gnorm = gnorm_prev
+    alpha = alg.step0
+
+    for it in range(1, alg.maxiter + 1):
+        improved = False
+        for _ in range(12):
+            ALs_new = _retract(psi.AL, direction, alpha)
+            psi_new = InfiniteMPS.from_AL(ALs_new)
+            f_new, g_new, GLg, GRg = _boundary_value_and_gradient(
+                psi_new, Os, 1e-12, GL0=GLg, GR0=GRg)
+            f_new = float(jnp.real(f_new))
+            if f_new < f + 1e-14:
+                improved = True
+                break
+            alpha *= 0.5
+        if not improved:
+            break
+        psi, f = psi_new, f_new
+        gnorm = float(jnp.linalg.norm(g_new))
+        if gnorm < alg.tol:
+            break
+        beta = max(0.0, float(jnp.real(
+            jnp.vdot(g_new, g_new - g) / jnp.maximum(gnorm_prev**2, 1e-30))))
+
+        def project(AL, x):
+            z = jnp.einsum("lpm,lpk->mk", AL.conj(), x)
+            return x - jnp.einsum("lpm,mk->lpk", AL, z)
+
+        dir_t = jax.vmap(project)(psi.AL, direction)
+        direction = jax.tree_util.tree_map(
+            lambda gn, dt: -gn + beta * dt, g_new, dir_t)
+        g, gnorm_prev = g_new, gnorm
+        alpha = min(alpha * 2.0, 1.0)
+        if alg.verbosity >= VERBOSE_ITER:
+            log.conv(it, f, gnorm)
+
+    L = psi.period
+    envs = mpo_environments(psi, DenseMPO(tuple(Os[i] for i in range(L))),
+                            GL0=GLg, GR0=GRg)
+    return psi, envs, gnorm
+
+
 def leading_boundary(psi, O, alg=None):
     """Boundary fixed point of a transfer MPO. Accepts an InfiniteMPS with
     a DenseMPO, or an MPSMultiline with an MPOMultiline (rows coupled
@@ -123,6 +209,10 @@ def leading_boundary(psi, O, alg=None):
     L = psi.period
     assert O.period == L or O.period == 1
     Os = jnp.stack([O.site(i) for i in range(L)]).astype(psi.dtype)
+
+    from .grassmann import GradientGrassmann
+    if isinstance(alg, GradientGrassmann):
+        return _leading_boundary_grassmann(psi, Os, alg)
 
     log = IterLog("leading_boundary", alg.verbosity)
     eps = 1.0

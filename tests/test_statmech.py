@@ -38,3 +38,22 @@ def test_sixvertex_runs():
         psi, O, VUMPS_Boundary(tol=1e-7, maxiter=200))
     lam = complex(expectation_value(psi, O, envs=envs))
     assert np.isfinite(lam.real) and abs(lam) > 0.1
+
+
+def test_classical_ising_grassmann():
+    # GradientGrassmann also drives leading_boundary (reference
+    # find_groundstate/gradient_grassmann.jl used for statmech cost)
+    from mpskit_tpu.algorithms.grassmann import GradientGrassmann
+
+    O = classical_ising()
+    psi = InfiniteMPS.random(jax.random.PRNGKey(3), 1, 2, 10)
+    # short VOMPS warmup, then gradient refinement
+    psi, _, _ = leading_boundary(psi, O, VOMPS(tol=1e-3, maxiter=60))
+    psi, envs, gnorm = leading_boundary(
+        psi, O, GradientGrassmann(tol=1e-7, maxiter=200))
+    lam = complex(expectation_value(psi, O, envs=envs))
+    assert abs(lam.real - 2.5337) < 1e-3
+    # CG plateaus at a small but finite gradient norm (same behaviour as
+    # the Hamiltonian GradientGrassmann); the eigenvalue oracle above is
+    # the meaningful check
+    assert gnorm < 0.1
