@@ -63,6 +63,48 @@ class WindowMPS:
         window = FiniteMPS(ALs, ARs, AC, 0)
         return WindowMPS(psi, window, psi)
 
+    def grow(self, n_left: int = 0, n_right: int = 0) -> "WindowMPS":
+        """Absorb n_left / n_right unit cells of the infinite sides into
+        the window (the growing-window dynamics of reference
+        windowmps.jl — expand when correlations reach the window edge).
+        The absorbed tensors are exact copies of the ground-state AL / AR
+        cells, so the physical state is unchanged; only the mutable region
+        gets larger. Static bond dimension is kept, so each distinct
+        window length compiles once."""
+        win = self.window
+        Dw, d = win.D, win.physicaldim
+        dtype = win.dtype
+
+        def _pad(A, D_in):
+            out = jnp.zeros((Dw, d, Dw), dtype)
+            return out.at[:D_in, :, :D_in].set(A.astype(dtype))
+
+        # left absorbed sites are valid ALs; their ARs (and the right
+        # absorbed sites' ALs) are placeholders — FiniteMPS gauge moves
+        # recompute them from AC before they are ever read
+        new_ALs = [
+            _pad(self.left_gs.AL[i % self.left_gs.period], self.left_gs.D)
+            for i in range(n_left * self.left_gs.period)]
+        new_ARs_l = [
+            _pad(self.left_gs.AR[i % self.left_gs.period], self.left_gs.D)
+            for i in range(n_left * self.left_gs.period)]
+        add_ARs = [
+            _pad(self.right_gs.AR[i % self.right_gs.period], self.right_gs.D)
+            for i in range(n_right * self.right_gs.period)]
+        add_ALs = [
+            _pad(self.right_gs.AL[i % self.right_gs.period], self.right_gs.D)
+            for i in range(n_right * self.right_gs.period)]
+
+        parts_al = ([jnp.stack(new_ALs)] if new_ALs else []) + [win.ALs] + \
+            ([jnp.stack(add_ALs)] if add_ALs else [])
+        parts_ar = ([jnp.stack(new_ARs_l)] if new_ARs_l else []) + \
+            [win.ARs] + ([jnp.stack(add_ARs)] if add_ARs else [])
+        ALs = jnp.concatenate(parts_al, axis=0)
+        ARs = jnp.concatenate(parts_ar, axis=0)
+        center = win.center + len(new_ALs)
+        window = FiniteMPS(ALs, ARs, win.AC, center)
+        return WindowMPS(self.left_gs, window, self.right_gs)
+
     def boundary_envs(self, H):
         """(GL0, GRL) boundary environments of the window: left/right
         infinite fixed points padded to the window bond dimension

@@ -46,3 +46,31 @@ def test_window_tdvp_local_quench():
         win, _ = timestep(win, H, 0.0, 0.05, TDVP())
     mx1 = complex(expectation_value(win.window, (4, X))).real
     assert abs(mx1 - mx0) < 1e-5
+
+
+def test_window_grow():
+    # growing the window absorbs exact ground-state cells: the physical
+    # state is unchanged and the enlarged window remains stationary
+    g, D = 1.5, 10
+    H = transverse_field_ising(g=g)
+    psi_inf = InfiniteMPS.random(jax.random.PRNGKey(2), 1, 2, D)
+    psi_inf, _, _ = find_groundstate_vumps(
+        psi_inf, H, VUMPS(tol=1e-9, maxiter=150))
+    X, _, Z, _ = pauli()
+    win = WindowMPS.from_infinite(psi_inf, L=6)
+    mx0 = complex(expectation_value(win.window, (3, X))).real
+
+    big = win.grow(n_left=2, n_right=1)
+    assert big.length == 9
+    # old bulk site is now shifted by the absorbed cells
+    mx1 = complex(expectation_value(big.window, (5, X))).real
+    assert abs(mx1 - mx0) < 1e-9
+    # every site of the grown window carries the infinite magnetization
+    for i in range(9):
+        mxi = complex(expectation_value(big.window, (i, X))).real
+        assert abs(mxi - mx0) < 1e-7
+
+    # and the grown window is still stationary under TDVP
+    big2, _ = timestep(big, H, 0.0, 0.05, TDVP())
+    mx2 = complex(expectation_value(big2.window, (5, X))).real
+    assert abs(mx2 - mx1) < 1e-5
