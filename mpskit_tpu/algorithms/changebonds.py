@@ -169,7 +169,16 @@ def _expand(psi, extra: int, H=None, optimal: bool = False):
     """Return a new state with every virtual bond enlarged by `extra`
     (padded static shapes). For OptimalExpand the new AL directions come
     from the SVD of the nullspace-projected two-site derivative
-    (reference optimalexpand.jl); for RandExpand they are random."""
+    (reference optimalexpand.jl); for RandExpand they are random.
+
+    Finite states are re-padded only: unlike the reference's exact bond
+    spaces (where expansion literally changes the vector space and the
+    seeded directions matter), the padded static-D representation already
+    exposes the full min(d^i, d^(L-i), D_new) supported block to the
+    masked local eigensolves, so DMRG explores the new directions on the
+    very next sweep regardless of how they are seeded. Seeding is only a
+    meaningful accelerant for infinite states, whose AL basis persists
+    between iterations."""
     key = jax.random.PRNGKey(42)
 
     if isinstance(psi, FiniteMPS):
