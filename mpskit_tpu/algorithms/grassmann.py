@@ -37,10 +37,14 @@ class GradientGrassmann:
 
 
 @partial(jax.jit, static_argnums=(2,))
-def _energy_and_gradient(psi: InfiniteMPS, H, env_tol: float):
-    """Returns (e_density, tangent gradient stacked (L, D, d, D))."""
+def _energy_and_gradient(psi: InfiniteMPS, H, env_tol: float,
+                         env_guess=None):
+    """Returns (e_density, tangent gradient stacked (L, D, d, D), envs).
+    `env_guess` warm-starts the environment GMRES solves (same pattern as
+    the VUMPS driver; ~3x per evaluation at D=256)."""
     L = psi.period
-    envs = hamiltonian_environments(psi, H, tol=env_tol)
+    envs = hamiltonian_environments(psi, H, tol=env_tol,
+                                    env_init=env_guess)
     Ws = jnp.stack([H.site(i) for i in range(L)]).astype(psi.dtype)
 
     def site(GL, W, GR, AC, AL, C):
@@ -58,7 +62,7 @@ def _energy_and_gradient(psi: InfiniteMPS, H, env_tol: float):
         return G - jnp.einsum("lpm,mk->lpk", AL, z)
 
     grads = jax.vmap(site)(envs.GLs, Ws, envs.GRs, psi.AC, psi.AL, psi.C)
-    return envs.e_density, grads
+    return envs.e_density, grads, envs
 
 
 def _retract(ALs, xi, alpha):
@@ -78,7 +82,7 @@ def find_groundstate_grassmann(psi: InfiniteMPS, H,
     """Nonlinear CG over the AL Grassmann manifold. Returns
     (psi, envs, grad_norm)."""
     log = IterLog("GradGrassmann", alg.verbosity)
-    e, g = _energy_and_gradient(psi, H, 1e-12)
+    e, g, env_guess = _energy_and_gradient(psi, H, 1e-12)
     e = float(jnp.real(e))
     direction = jax.tree_util.tree_map(lambda x: -x, g)
     gnorm_prev = float(jnp.linalg.norm(g))
@@ -91,7 +95,8 @@ def find_groundstate_grassmann(psi: InfiniteMPS, H,
         for _ in range(12):
             ALs_new = _retract(psi.AL, direction, alpha)
             psi_new = InfiniteMPS.from_AL(ALs_new)
-            e_new, g_new = _energy_and_gradient(psi_new, H, 1e-12)
+            e_new, g_new, env_guess = _energy_and_gradient(
+                psi_new, H, 1e-12, env_guess=env_guess)
             e_new = float(jnp.real(e_new))
             if e_new < e + 1e-14:
                 improved = True
@@ -121,5 +126,5 @@ def find_groundstate_grassmann(psi: InfiniteMPS, H,
         if alg.verbosity >= VERBOSE_ITER:
             log.conv(it, e, gnorm)
 
-    envs = hamiltonian_environments(psi, H)
+    envs = hamiltonian_environments(psi, H, env_init=env_guess)
     return psi, envs, gnorm
