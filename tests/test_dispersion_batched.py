@@ -9,6 +9,8 @@ from mpskit_tpu.algorithms.excitations import (
     QuasiparticleAnsatz, excitations_infinite_batched,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def test_batched_dispersion_tfim():
     # full dispersion curve in one vmapped solve:

@@ -11,6 +11,8 @@ from mpskit_tpu.algorithms.excitations import (
     QuasiparticleAnsatz, excitations_infinite,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def _spin_flip(psi: InfiniteMPS) -> InfiniteMPS:
     """Apply the global Z2 symmetry (X on every site): maps one broken

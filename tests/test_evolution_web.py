@@ -11,6 +11,8 @@ from mpskit_tpu.algorithms.timeevmpo import make_time_mpo, WI, WII
 from mpskit_tpu.operators.apply import apply_densempo_finite
 from mpskit_tpu.algorithms.approximate import approximate, FitDMRG
 
+pytestmark = pytest.mark.slow
+
 
 def _ov(a, b):
     na = complex(a.dot(a)) ** 0.5

@@ -9,6 +9,8 @@ from mpskit_tpu.states.infinitemps import InfiniteMPS
 from mpskit_tpu.algorithms.vumps import VUMPS, find_groundstate_vumps
 from mpskit_tpu.algorithms.toolbox import fidelity_susceptibility
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("lam", [2.0, 4.0])
 def test_fidelity_susceptibility_tfim(lam):

@@ -9,6 +9,8 @@ from mpskit_tpu.algorithms import expectation_value
 from mpskit_tpu.algorithms.approximate import approximate, FitDMRG
 from mpskit_tpu.operators.apply import apply_densempo_finite
 
+pytestmark = pytest.mark.slow
+
 
 def _row_to_matrix(O, N):
     """Dense matrix of the finite row-transfer MPO (2^N x 2^N)."""

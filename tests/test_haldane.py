@@ -9,6 +9,8 @@ from mpskit_tpu.algorithms.excitations import (
     QuasiparticleAnsatz, excitations_infinite,
 )
 
+pytestmark = pytest.mark.slow
+
 
 def test_haldane_gap():
     """Flagship oracle: spin-1 Heisenberg Haldane gap at p = pi is

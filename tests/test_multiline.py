@@ -9,6 +9,8 @@ from mpskit_tpu.operators.multiline import MPOMultiline
 from mpskit_tpu.algorithms.statmech import leading_boundary, VUMPS_Boundary
 from mpskit_tpu.algorithms.expval import expectation_value
 
+pytestmark = pytest.mark.slow
+
 
 def test_two_row_classical_ising():
     # two identical rows must reproduce the single-row boundary physics

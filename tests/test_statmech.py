@@ -10,6 +10,8 @@ from mpskit_tpu.algorithms.statmech import (
 )
 from mpskit_tpu.algorithms.expval import expectation_value
 
+pytestmark = pytest.mark.slow
+
 
 def test_classical_ising_vumps():
     # reference oracle: expectation_value of the critical classical-Ising
