@@ -105,6 +105,73 @@ class WindowMPS:
         window = FiniteMPS(ALs, ARs, win.AC, center)
         return WindowMPS(self.left_gs, window, self.right_gs)
 
+    def shrink(self, n_left: int = 0, n_right: int = 0):
+        """Drop n_left / n_right sites from the window edges, handing them
+        back to the infinite boundaries. Exact only when the dropped
+        tensors equal the boundary ground-state cells (e.g. sites added by
+        :meth:`grow`, or edges that have relaxed back to the ground
+        state); the returned `deviation` is the Frobenius norm of the
+        difference, i.e. the truncation error of the move. Combining
+        `grow` on the leading edge with `shrink` on the trailing edge
+        gives a co-moving window (reference windowmps.jl dynamics)."""
+        win = self.window
+        L = win.length
+        Dw, d = win.D, win.physicaldim
+        dtype = win.dtype
+        assert n_left + n_right < L
+        # gauge so dropped left sites are ALs and dropped right sites ARs
+        c = min(max(win.center, n_left), L - 1 - n_right)
+        win = win.move_center(c)
+        ALs, ARs, AC = win.ALs, win.ARs, win.AC
+
+        def _pad(A, D_in):
+            out = jnp.zeros((Dw, d, Dw), dtype)
+            return out.at[:D_in, :, :D_in].set(A.astype(dtype))
+
+        dev = jnp.zeros((), ALs.real.dtype)
+        # a dropped tensor generally equals the boundary cell only up to a
+        # bond gauge (move_center re-gauges with qr_pos); extract the gauge
+        # U = ref^dag A, fold it into the neighbour, and report only the
+        # genuine physical deviation |A - ref U|
+        pl = self.left_gs.period
+        U = jnp.eye(Dw, dtype=dtype)
+        for i in range(n_left):
+            ref = _pad(self.left_gs.AL[i % pl], self.left_gs.D)
+            eff = jnp.einsum("ab,bpr->apr", U, ALs[i])
+            U = jnp.einsum("lpa,lpb->ab", jnp.conj(ref), eff)
+            dev = dev + jnp.linalg.norm(
+                eff - jnp.einsum("lpa,ab->lpb", ref, U)) ** 2
+        pr = self.right_gs.period
+        V = jnp.eye(Dw, dtype=dtype)
+        for i in range(n_right):
+            ref = _pad(self.right_gs.AR[(-1 - i) % pr], self.right_gs.D)
+            eff = jnp.einsum("apr,rb->apb", ARs[L - 1 - i], V)
+            V = jnp.einsum("apr,bpr->ab", eff, jnp.conj(ref))
+            dev = dev + jnp.linalg.norm(
+                eff - jnp.einsum("ab,bpr->apr", V, ref)) ** 2
+        dev = jnp.sqrt(dev)
+
+        sl = slice(n_left, L - n_right)
+        ALs, ARs = ALs[sl], ARs[sl]
+        # fold the accumulated gauges into the new edge tensors / AC
+        if n_left:
+            ALs = ALs.at[0].set(jnp.einsum("ab,bpr->apr", U, ALs[0]))
+            if c == n_left:
+                AC = jnp.einsum("ab,bpr->apr", U, AC)
+            else:
+                ARs = ARs.at[0].set(jnp.einsum("ab,bpr->apr", U, ARs[0]))
+        if n_right:
+            last = L - n_right - n_left - 1
+            ARs = ARs.at[last].set(
+                jnp.einsum("apr,rb->apb", ARs[last], V))
+            if c == L - 1 - n_right:
+                AC = jnp.einsum("apr,rb->apb", AC, V)
+            else:
+                ALs = ALs.at[last].set(
+                    jnp.einsum("apr,rb->apb", ALs[last], V))
+        window = FiniteMPS(ALs, ARs, AC, c - n_left)
+        return WindowMPS(self.left_gs, window, self.right_gs), dev
+
     def boundary_envs(self, H):
         """(GL0, GRL) boundary environments of the window: left/right
         infinite fixed points padded to the window bond dimension

@@ -74,3 +74,30 @@ def test_window_grow():
     big2, _ = timestep(big, H, 0.0, 0.05, TDVP())
     mx2 = complex(expectation_value(big2.window, (5, X))).real
     assert abs(mx2 - mx1) < 1e-5
+
+
+def test_window_grow_shrink_roundtrip():
+    # grow absorbs exact gs cells, so shrinking them back is exact and the
+    # reported deviation is ~0; the state equals the original window
+    g, D = 1.5, 10
+    H = transverse_field_ising(g=g)
+    psi_inf = InfiniteMPS.random(jax.random.PRNGKey(3), 1, 2, D)
+    psi_inf, _, _ = find_groundstate_vumps(
+        psi_inf, H, VUMPS(tol=1e-9, maxiter=150))
+    X, _, Z, _ = pauli()
+    win = WindowMPS.from_infinite(psi_inf, L=6)
+    mx0 = complex(expectation_value(win.window, (3, X))).real
+
+    big = win.grow(n_left=2, n_right=1)
+    small, dev = big.shrink(n_left=2, n_right=1)
+    assert small.length == 6
+    assert float(dev) < 1e-12
+    mx1 = complex(expectation_value(small.window, (3, X))).real
+    assert abs(mx1 - mx0) < 1e-10
+
+    # co-moving step: grow right, shrink left (window slides one cell)
+    moved, dev2 = win.grow(n_right=1).shrink(n_left=1)
+    assert moved.length == 6
+    assert float(dev2) < 1e-8  # trailing edge is the unperturbed gs
+    mx2 = complex(expectation_value(moved.window, (2, X))).real
+    assert abs(mx2 - mx0) < 1e-7
