@@ -58,7 +58,7 @@ def main():
     # The f32 path pins BF16_BF16_F32_X3 matmuls (the TPU default one-pass
     # bf16 destabilizes the sweeps — see mpskit_tpu.config).
     with matmul_precision(dtype):
-        ALs, ARs, AC, GRs2, lam, eps = _dmrg_sweep(
+        ALs, ARs, AC, GRs2, lam, eps, _diag = _dmrg_sweep(
             psi.ALs, psi.ARs, psi.AC, Ws, GRs, inner_tol, KRYLOVDIM,
             RESTARTS, masks=masks)
         lam0 = float(jnp.real(lam))
@@ -68,7 +68,7 @@ def main():
         n_sweeps = 3
         t0 = time.perf_counter()
         for _ in range(n_sweeps):
-            ALs, ARs, AC, GRs2, lam, eps = _dmrg_sweep(
+            ALs, ARs, AC, GRs2, lam, eps, _diag = _dmrg_sweep(
                 ALs, ARs, AC, Ws, GRs2, inner_tol, KRYLOVDIM, RESTARTS,
                 masks=masks)
         lam1 = float(jnp.real(lam))

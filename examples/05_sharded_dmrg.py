@@ -27,7 +27,7 @@ GRs = shard_env(compute_right_envs(psi.ARs, Ws, right_boundary(w, D, dtype)),
                 mesh)
 tol = jnp.asarray(1e-6, jnp.float32)
 
-ALs, ARs, AC, GRs, lam, eps = _dmrg_sweep(
+ALs, ARs, AC, GRs, lam, eps, _diag = _dmrg_sweep(
     psi.ALs, psi.ARs, psi.AC, Ws, GRs, tol, 16, 2)
 print("sharded sweep energy:", float(jnp.real(lam)))
 print("AC sharding:", AC.sharding)

@@ -47,6 +47,9 @@ class DMRG:
     verbosity: int = Defaults.verbosity
     finalize: Optional[Callable] = None
     fast_qr: Optional[bool] = None
+    # Lanczos reorthogonalization: "local" (3-term recurrence, the fast
+    # restarted-site-solve path) or "full" (two-pass CGS each step).
+    reorth: str = "local"
 
 
 def bulk_rank_flags(L: int, d: int, D: int):
@@ -76,9 +79,10 @@ def _galerkin_right(AR, y):
     return jnp.linalg.norm(y_perp)
 
 
-@partial(jax.jit, static_argnums=(6, 7))
+@partial(jax.jit, static_argnums=(6, 7), static_argnames=("reorth",))
 def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
-                GL0=None, GRL=None, masks=None, bulk_flags=None):
+                GL0=None, GRL=None, masks=None, bulk_flags=None,
+                reorth: str = "local"):
     """One full DMRG sweep (L2R over sites 0..L-2, R2L over L-1..1),
     starting and ending with center = 0. Returns updated tensors, fresh
     right environments, the last eigenvalue and the max Galerkin residual.
@@ -106,7 +110,8 @@ def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
         AC, GL = carry
         W, AR_next, GR_next, mk, bk = xs
         res = eigsh_smallest(
-            lambda x: ac_apply(GL, W, GR_next, x), AC, m, restarts, inner_tol)
+            lambda x: ac_apply(GL, W, GR_next, x), AC, m, restarts, inner_tol,
+            reorth=reorth)
         ACp = res.eigenvector * mk
         ACp = ACp / jnp.maximum(jnp.linalg.norm(ACp), 1e-30)
         AL, C = leftorth_hybrid(ACp, bk)
@@ -114,11 +119,12 @@ def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
         eps = _galerkin_left(AL, ac_apply(GL, W, GR_next, ACp))
         GL_next = transfer_left_mpo(GL, W, AL, AL)
         AC_next = jnp.einsum("lm,mpr->lpr", C, AR_next)
-        return (AC_next, GL_next), (AL, GL, res.eigenvalue, eps)
+        return (AC_next, GL_next), (AL, GL, res.eigenvalue, eps,
+                                    res.converged, res.residual)
 
     xsL = (Ws[: L - 1], ARs[1:], GRs[1:L], maskf[: L - 1], bulkL[: L - 1])
-    (AC, GL_last), (ALs_new, GLs_scan, lamsL, epsL) = jax.lax.scan(
-        stepL, (AC, GL0), xsL)
+    (AC, GL_last), (ALs_new, GLs_scan, lamsL, epsL, convL, residL) = \
+        jax.lax.scan(stepL, (AC, GL0), xsL)
     ALs = ALs.at[: L - 1].set(ALs_new)
     # GLs[i] for i = 0..L-2 are in GLs_scan; GLs[L-1] is GL_last
     GLs = jnp.concatenate([GLs_scan, GL_last[None]], axis=0)  # (L, w, D, D)
@@ -128,7 +134,8 @@ def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
         AC, GR = carry
         W, AL_prev, GL_i, mk, bk = xs
         res = eigsh_smallest(
-            lambda x: ac_apply(GL_i, W, GR, x), AC, m, restarts, inner_tol)
+            lambda x: ac_apply(GL_i, W, GR, x), AC, m, restarts, inner_tol,
+            reorth=reorth)
         ACp = res.eigenvector * mk
         ACp = ACp / jnp.maximum(jnp.linalg.norm(ACp), 1e-30)
         C, AR = rightorth_hybrid(ACp, bk)
@@ -136,11 +143,12 @@ def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
         eps = _galerkin_right(AR, ac_apply(GL_i, W, GR, ACp))
         GR_prev = transfer_right_mpo(GR, W, AR, AR)
         AC_prev = jnp.einsum("lpm,mr->lpr", AL_prev, C)
-        return (AC_prev, GR_prev), (AR, GR, res.eigenvalue, eps)
+        return (AC_prev, GR_prev), (AR, GR, res.eigenvalue, eps,
+                                    res.converged, res.residual)
 
     xsR = (Ws[1:], ALs[: L - 1], GLs[1:], maskf[1:], bulkR[1:])
-    (AC, GR_last), (ARs_new, GRs_scan, lamsR, epsR) = jax.lax.scan(
-        stepR, (AC, GRL), xsR, reverse=True)
+    (AC, GR_last), (ARs_new, GRs_scan, lamsR, epsR, convR, residR) = \
+        jax.lax.scan(stepR, (AC, GRL), xsR, reverse=True)
     ARs = ARs.at[1:].set(ARs_new)
     # fresh right envs for the next sweep: GRs_new[1] = final carry,
     # GRs_new[j+2] = scan output j (j = 0..L-2); GRs_new[0] unused
@@ -148,7 +156,12 @@ def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
 
     lam = lamsR[0]  # eigenvalue at site 1 (last solved)
     eps = jnp.maximum(jnp.max(epsL), jnp.max(epsR))
-    return ALs, ARs, AC, GRs, lam, eps
+    # solver diagnostics: (# of site eigensolves that missed inner_tol,
+    # worst residual) — the driver warns on the host (reference warns on
+    # every unconverged solve, src/algorithms/fixedpoint.jl:12-14)
+    n_unconv = (jnp.sum(~convL) + jnp.sum(~convR)).astype(jnp.int32)
+    diag = (n_unconv, jnp.maximum(jnp.max(residL), jnp.max(residR)))
+    return ALs, ARs, AC, GRs, lam, eps, diag
 
 
 def find_groundstate_dmrg_window(psi, H, alg: DMRG = DMRG()):
@@ -163,13 +176,16 @@ def find_groundstate_dmrg_window(psi, H, alg: DMRG = DMRG()):
     GL0, GRL = psi.boundary_envs(H)
     GRs = compute_right_envs(win.ARs, Ws, GRL)
     ALs, ARs, AC = win.ALs, win.ARs, win.AC
+    log = IterLog("DMRG(window)", alg.verbosity)
     eps = 1.0
     for it in range(1, alg.maxiter + 1):
         inner_tol = updatetol(eps, it)
-        ALs, ARs, AC, GRs, lam, eps = _dmrg_sweep(
+        ALs, ARs, AC, GRs, lam, eps, diag = _dmrg_sweep(
             ALs, ARs, AC, Ws, GRs, inner_tol,
-            alg.krylovdim, alg.eig_maxrestarts, GL0=GL0, GRL=GRL)
+            alg.krylovdim, alg.eig_maxrestarts, GL0=GL0, GRL=GRL,
+            reorth=alg.reorth)
         eps = float(eps)
+        log.solver_warn(it, diag, float(inner_tol))
         if eps < alg.tol:
             break
     out = WindowMPS(psi.left_gs, FiniteMPS(ALs, ARs, AC, 0), psi.right_gs)
@@ -204,15 +220,16 @@ def find_groundstate_dmrg(psi: FiniteMPS, H, alg: DMRG = DMRG()):
     for it in range(1, alg.maxiter + 1):
         inner_tol = updatetol(eps, it)
         with matmul_precision(psi.dtype):
-            ALs, ARs, AC, GRs, lam, eps = _dmrg_sweep(
+            ALs, ARs, AC, GRs, lam, eps, diag = _dmrg_sweep(
                 ALs, ARs, AC, Ws, GRs, inner_tol,
                 alg.krylovdim, alg.eig_maxrestarts, masks=masks,
-                bulk_flags=bulk_flags)
+                bulk_flags=bulk_flags, reorth=alg.reorth)
         psi = FiniteMPS(ALs, ARs, AC, 0)
         if alg.finalize is not None:
             psi = alg.finalize(it, psi, H) or psi
             ALs, ARs, AC = psi.ALs, psi.ARs, psi.AC
         eps = float(eps)
+        log.solver_warn(it, diag, float(inner_tol))
         if alg.verbosity >= VERBOSE_ITER:
             log.conv(it, float(jnp.real(lam)), eps)
         if eps < alg.tol:

@@ -55,17 +55,21 @@ def _vumps_iteration(psi: InfiniteMPS, H, m: int, restarts: int,
     # batched local eigensolves over the unit cell (site-parallel, P1)
     def solve_ac(GL, W, GR, AC):
         res = eigsh_smallest(lambda x: ac_apply(GL, W, GR, x), AC,
-                             m, restarts, inner_tol)
-        return res.eigenvector
+                             m, restarts, inner_tol, reorth="local")
+        return res.eigenvector, res.converged
 
     def solve_c(GL_next, GR, C):
         res = eigsh_smallest(lambda x: c_apply(GL_next, GR, x), C,
-                             m, restarts, inner_tol)
-        return res.eigenvector
+                             m, restarts, inner_tol, reorth="local")
+        return res.eigenvector, res.converged
 
     GL_next = jnp.roll(envs.GLs, -1, axis=0)  # GLs[i+1] for bond i
-    ACs = jax.vmap(solve_ac)(envs.GLs, Ws, envs.GRs, psi.AC)
-    Cs = jax.vmap(solve_c)(GL_next, envs.GRs, psi.C)
+    ACs, conv_ac = jax.vmap(solve_ac)(envs.GLs, Ws, envs.GRs, psi.AC)
+    Cs, conv_c = jax.vmap(solve_c)(GL_next, envs.GRs, psi.C)
+    # diagnostics: (# unconverged local eigensolves, worst env-GMRES
+    # relative residual) — read back and surfaced by the host driver
+    n_unconv = (jnp.sum(~conv_ac) + jnp.sum(~conv_c)).astype(jnp.int32)
+    diag = (n_unconv, envs.resid)
     if A_mask is not None:
         ACs = ACs * A_mask.astype(ACs.dtype)
         ACs = ACs / jnp.linalg.norm(
@@ -88,7 +92,7 @@ def _vumps_iteration(psi: InfiniteMPS, H, m: int, restarts: int,
         Cm = C_mask.astype(psi_new.C.dtype)
         psi_new = InfiniteMPS(psi_new.AL * Am, psi_new.AR * Am,
                               psi_new.AC * Am, psi_new.C * Cm)
-    return psi_new, eps, envs
+    return psi_new, eps, envs, diag
 
 
 def find_groundstate_vumps(psi: InfiniteMPS, H, alg: VUMPS = VUMPS()):
@@ -99,12 +103,19 @@ def find_groundstate_vumps(psi: InfiniteMPS, H, alg: VUMPS = VUMPS()):
     env_guess = None
     for it in range(1, alg.maxiter + 1):
         inner_tol = updatetol(eps, it)
-        psi, eps, env_guess = _vumps_iteration(
+        psi, eps, env_guess, diag = _vumps_iteration(
             psi, H, alg.krylovdim, alg.eig_maxrestarts, alg.gauge_tol,
             1e-12, inner_tol, env_guess=env_guess)
         if alg.finalize is not None:
             psi = alg.finalize(it, psi, H) or psi
         eps = float(eps)
+        log.solver_warn(it, diag[:1] + (diag[1],), float(inner_tol))
+        if float(diag[1]) > 1e-6 and alg.verbosity >= 1:
+            from ..utils.logging import logger
+            logger.warning(
+                f"VUMPS: iteration {it}: environment GMRES residual "
+                f"{float(diag[1]):.4e} (geometric-series solve not "
+                "converged)")
         if alg.verbosity >= VERBOSE_ITER:
             log.conv(it, 0.0, eps)
         if eps < alg.tol:

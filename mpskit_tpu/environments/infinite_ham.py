@@ -23,7 +23,7 @@ from ..operators.mpo import (
     MPOHamiltonian, DIAG_ZERO, DIAG_IDENTITY, DIAG_SCALAR, DIAG_GENERAL,
 )
 from ..states.infinitemps import InfiniteMPS
-from ..linalg.gmres import linsolve
+from ..linalg.gmres import linsolve_info
 
 
 def pairing(v, cap):
@@ -65,9 +65,14 @@ class InfiniteHamEnv:
     GLs: jnp.ndarray       # (L, w, D, D)
     GRs: jnp.ndarray       # (L, w, D, D)
     e_density: jnp.ndarray  # scalar, energy per site
+    # worst relative residual over all geometric-series GMRES solves (the
+    # reference warns per unconverged solve, mpohaminfenv.jl:97-98; here the
+    # jitted driver reads it back once per iteration and warns on the host)
+    resid: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros(()))
 
     def tree_flatten(self):
-        return (self.GLs, self.GRs, self.e_density), None
+        return (self.GLs, self.GRs, self.e_density, self.resid), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -93,6 +98,7 @@ def calc_lw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12, GL_init=None):
     GLs = GLs.at[:, 0].set(eye)
     cap = psi.rho_right(L - 1).astype(dtype)  # right cap at the cell boundary
     e_cell = jnp.zeros((), dtype)
+    resid = jnp.zeros((), jnp.zeros((), dtype).real.dtype)
 
     for b in range(1, w):
         Wdiag = Ws[:, b, b]                       # (L, d, d)
@@ -140,10 +146,13 @@ def calc_lw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12, GL_init=None):
 
             if guess is not None:
                 guess = guess - pairing(guess, cap) * eye
-            x0 = linsolve(matvec_reg, F_reg, x0=guess, a0=1.0, a1=-1.0,
-                          tol=tol)
+            x0, r = linsolve_info(matvec_reg, F_reg, x0=guess, a0=1.0,
+                                  a1=-1.0, tol=tol)
+            resid = jnp.maximum(resid, jnp.real(r))
         else:  # DIAG_SCALAR / DIAG_GENERAL: spectral radius assumed < 1
-            x0 = linsolve(diag_cycle, F, x0=guess, a0=1.0, a1=-1.0, tol=tol)
+            x0, r = linsolve_info(diag_cycle, F, x0=guess, a0=1.0, a1=-1.0,
+                                  tol=tol)
+            resid = jnp.maximum(resid, jnp.real(r))
 
         # propagate around the cell to fill every bond
         _, xs_all = cycle(x0)
@@ -158,7 +167,7 @@ def calc_lw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12, GL_init=None):
             GL_b = GL_b - coeff[:, None, None] * eye[None]
         GLs = GLs.at[:, b].set(GL_b)
 
-    return GLs, e_cell
+    return GLs, e_cell, resid
 
 
 def calc_rw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12, GR_init=None):
@@ -174,6 +183,7 @@ def calc_rw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12, GR_init=None):
     GRs = GRs.at[:, w - 1].set(eye)
     cap = psi.rho_left(L - 1).astype(dtype)  # left cap at the cell boundary
     e_cell = jnp.zeros((), dtype)
+    resid = jnp.zeros((), jnp.zeros((), dtype).real.dtype)
 
     for a in range(w - 2, -1, -1):
         Wdiag = Ws[:, a, a]
@@ -218,10 +228,13 @@ def calc_rw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12, GR_init=None):
 
             if guess is not None:
                 guess = guess - pairing(guess, cap) * eye
-            x0 = linsolve(matvec_reg, F_reg, x0=guess, a0=1.0, a1=-1.0,
-                          tol=tol)
+            x0, r = linsolve_info(matvec_reg, F_reg, x0=guess, a0=1.0,
+                                  a1=-1.0, tol=tol)
+            resid = jnp.maximum(resid, jnp.real(r))
         else:
-            x0 = linsolve(diag_cycle, F, x0=guess, a0=1.0, a1=-1.0, tol=tol)
+            x0, r = linsolve_info(diag_cycle, F, x0=guess, a0=1.0, a1=-1.0,
+                                  tol=tol)
+            resid = jnp.maximum(resid, jnp.real(r))
 
         _, xs_all = cycle(x0)
         # reverse scan: processing site i used GR at bond i (right of site i)
@@ -234,7 +247,7 @@ def calc_rw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12, GR_init=None):
             GR_a = GR_a - coeff[:, None, None] * eye[None]
         GRs = GRs.at[:, a].set(GR_a)
 
-    return GRs, e_cell
+    return GRs, e_cell, resid
 
 
 def hamiltonian_environments(psi: InfiniteMPS, H: MPOHamiltonian,
@@ -248,7 +261,7 @@ def hamiltonian_environments(psi: InfiniteMPS, H: MPOHamiltonian,
     the same reason, mpohaminfenv.jl recalculate!)."""
     GL0 = None if env_init is None else env_init.GLs
     GR0 = None if env_init is None else env_init.GRs
-    GLs, eL = calc_lw(psi, H, tol, GL_init=GL0)
-    GRs, eR = calc_rw(psi, H, tol, GR_init=GR0)
+    GLs, eL, rL = calc_lw(psi, H, tol, GL_init=GL0)
+    GRs, eR, rR = calc_rw(psi, H, tol, GR_init=GR0)
     e = jnp.real(eL) / psi.period
-    return InfiniteHamEnv(GLs, GRs, e)
+    return InfiniteHamEnv(GLs, GRs, e, jnp.maximum(rL, rR))

@@ -31,6 +31,27 @@ def linsolve(matvec: Callable, b, x0=None, a0=1.0, a1=1.0, tol=1e-12,
     return x
 
 
+def linsolve_info(matvec: Callable, b, x0=None, a0=1.0, a1=1.0, tol=1e-12,
+                  restart: int = 30, maxiter: int = 40):
+    """`linsolve` that also returns the measured relative residual
+    ||(a0 + a1 A) x - b|| / ||b|| (one extra matvec), so callers can surface
+    non-convergence the way the reference warns on every unconverged solve
+    (reference src/environments/mpohaminfenv.jl:97-98,
+    src/algorithms/fixedpoint.jl:12-14 — jax.scipy's gmres returns no
+    convergence history, so the residual is recomputed explicitly)."""
+    if x0 is None:
+        x0 = b
+
+    def op(x):
+        return tree_add(tree_scale(a0, x), matvec(x), alpha=a1)
+
+    x, _ = gmres(op, b, x0=x0, tol=tol, atol=tol * tree_norm(b),
+                 restart=restart, maxiter=maxiter, solve_method="batched")
+    relres = tree_norm(tree_add(op(x), b, alpha=-1.0)) / jnp.maximum(
+        tree_norm(b), 1e-30)
+    return x, relres
+
+
 def linsolve_cg(matvec, b, x0=None, tol=1e-10, maxiter: int = 200):
     """Hand-rolled conjugate gradient for Hermitian positive(-semi)definite
     pytree operators. Unlike jax.scipy's cg/gmres this builds no

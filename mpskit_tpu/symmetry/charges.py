@@ -292,7 +292,7 @@ def find_groundstate_symmetric_infinite(spsi: SymmetricInfiniteMPS, H,
     for it in range(1, alg.maxiter + 1):
         inner_tol = updatetol(eps, it)
         with matmul_precision(psi.dtype):
-            psi, eps, env_guess = _vumps_iteration(
+            psi, eps, env_guess, _diag = _vumps_iteration(
                 psi, H, alg.krylovdim, alg.eig_maxrestarts, alg.gauge_tol,
                 1e-12, inner_tol, A_mask=A_mask, C_mask=C_mask,
                 env_guess=env_guess)
@@ -328,7 +328,7 @@ def find_groundstate_symmetric(spsi: SymmetricFiniteMPS, H, alg=None):
     for it in range(1, alg.maxiter + 1):
         inner_tol = updatetol(eps, it)
         with matmul_precision(psi.dtype):
-            ALs, ARs, AC, GRs, lam, eps = _dmrg_sweep(
+            ALs, ARs, AC, GRs, lam, eps, _diag = _dmrg_sweep(
                 ALs, ARs, AC, Ws, GRs, inner_tol, alg.krylovdim,
                 alg.eig_maxrestarts, masks=masks)
         eps = float(eps)

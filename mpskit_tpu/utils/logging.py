@@ -48,6 +48,22 @@ class IterLog:
                 f"obj = {objective}, err = {error}"
             )
 
+    def solver_warn(self, it, diag, tol):
+        """Warn about unconverged inner solves (the reference warns per
+        solve, src/algorithms/fixedpoint.jl:12-14; here the jitted sweep
+        aggregates (n_unconverged, worst_residual) and the driver reports
+        once per outer iteration). Gated at verbosity >= WARN (1)."""
+        if self.verbosity < 1:
+            return
+        n, resid = diag
+        n = int(n)
+        if n > 0:
+            logger.warning(
+                f"{self.name}: iteration {it}: {n} inner solve(s) not "
+                f"converged to tol {tol:.2e} (worst residual "
+                f"{float(resid):.4e})"
+            )
+
     def cancel(self, it, objective, error):
         if self.verbosity >= 1:
             logger.warning(

@@ -45,13 +45,13 @@ def main():
     with matmul_precision(dt):
         a, b, c, g2 = psi.ALs, psi.ARs, psi.AC, GRs
         # warm-up: compile + one sweep
-        a, b, c, g2, lam, eps = _dmrg_sweep(a, b, c, Ws, g2, tol, 10, 2,
+        a, b, c, g2, lam, eps, _diag = _dmrg_sweep(a, b, c, Ws, g2, tol, 10, 2,
                                             masks=masks)
         float(jnp.real(lam))  # host readback = real sync on axon
 
         with jax.profiler.trace(outdir):
             t0 = time.perf_counter()
-            a, b, c, g2, lam, eps = _dmrg_sweep(a, b, c, Ws, g2, tol, 10, 2,
+            a, b, c, g2, lam, eps, _diag = _dmrg_sweep(a, b, c, Ws, g2, tol, 10, 2,
                                                 masks=masks)
             float(jnp.real(lam))
             dt_s = time.perf_counter() - t0

@@ -74,3 +74,34 @@ def test_serialize_roundtrip(tmp_path):
     save_state(p2, ipsi)
     ipsi2 = load_state(p2)
     np.testing.assert_allclose(np.asarray(ipsi.AL), np.asarray(ipsi2.AL))
+
+
+def test_unconverged_solver_warning(caplog):
+    """A deliberately under-iterated DMRG (tiny Krylov space, one restart)
+    must surface the inner eigensolves' non-convergence as a warning —
+    the reference warns on every unconverged solve
+    (src/algorithms/fixedpoint.jl:12-14)."""
+    import logging
+    from mpskit_tpu.models import transverse_field_ising
+    from mpskit_tpu.algorithms.dmrg import find_groundstate_dmrg, DMRG
+
+    H = transverse_field_ising(g=1.5, dtype=np.float64)
+    psi = FiniteMPS.random(jax.random.PRNGKey(7), 8, 2, 8, dtype=jnp.float64)
+    with caplog.at_level(logging.WARNING, logger="mpskit_tpu"):
+        find_groundstate_dmrg(
+            psi, H, DMRG(tol=1e-14, maxiter=1, krylovdim=3,
+                         eig_maxrestarts=1, verbosity=1))
+    assert any("not converged" in r.message for r in caplog.records)
+
+
+def test_converged_solver_no_warning(caplog):
+    """A normally-converged run must NOT emit solver warnings."""
+    import logging
+    from mpskit_tpu.models import transverse_field_ising
+    from mpskit_tpu.algorithms.dmrg import find_groundstate_dmrg, DMRG
+
+    H = transverse_field_ising(g=1.5, dtype=np.float64)
+    psi = FiniteMPS.random(jax.random.PRNGKey(8), 8, 2, 8, dtype=jnp.float64)
+    with caplog.at_level(logging.WARNING, logger="mpskit_tpu"):
+        find_groundstate_dmrg(psi, H, DMRG(tol=1e-9, maxiter=30, verbosity=1))
+    assert not any("inner solve" in r.message for r in caplog.records)

@@ -57,8 +57,8 @@ def _assert_sweeps_equivalent(psi, ref, out):
     residual, and state fidelity |<ref|sharded>| = 1. Raw tensors are NOT
     compared: QR junk columns outside the supported bond blocks and the
     Lanczos eigenvector's global sign are layout-dependent noise."""
-    ALs_r, ARs_r, AC_r, _, lam_r, eps_r = ref
-    ALs_o, ARs_o, AC_o, _, lam_o, eps_o = out
+    ALs_r, ARs_r, AC_r, _, lam_r, eps_r, _diag_r = ref
+    ALs_o, ARs_o, AC_o, _, lam_o, eps_o, _diag_o = out
     np.testing.assert_allclose(float(lam_r), float(lam_o), rtol=1e-10)
     # the Galerkin residual of a *random* start state is dominated by the
     # inner eigensolve's stopping point, which layout-dependent rounding can
@@ -103,12 +103,12 @@ def _vumps_setup(period=2, D=8, g=1.4, dtype=jnp.float64):
 def test_sharded_vumps_iteration_bond_mesh():
     """One VUMPS iteration with bond-sharded state == unsharded."""
     psi, H = _vumps_setup()
-    psi_ref, eps_ref, env_ref = _vumps_iteration(
+    psi_ref, eps_ref, env_ref, _d = _vumps_iteration(
         psi, H, 10, 2, 1e-10, 1e-10, jnp.asarray(1e-8))
 
     mesh = make_mesh(bond=8)
     psi_s = shard_infinite_mps(psi, mesh)
-    psi_out, eps_out, env_out = _vumps_iteration(
+    psi_out, eps_out, env_out, _d = _vumps_iteration(
         psi_s, H, 10, 2, 1e-10, 1e-10, jnp.asarray(1e-8))
 
     np.testing.assert_allclose(float(eps_ref), float(eps_out), atol=1e-9)
@@ -120,12 +120,12 @@ def test_sharded_vumps_iteration_bond_mesh():
 def test_sharded_vumps_iteration_site_bond_mesh():
     """VUMPS with the unit cell sharded over 'site' and bonds over 'bond'."""
     psi, H = _vumps_setup(period=2, D=8)
-    psi_ref, eps_ref, _ = _vumps_iteration(
+    psi_ref, eps_ref, _, _d = _vumps_iteration(
         psi, H, 10, 2, 1e-10, 1e-10, jnp.asarray(1e-8))
 
     mesh = make_mesh(site=2, bond=4)
     psi_s = shard_infinite_mps(psi, mesh, shard_sites=True)
-    psi_out, eps_out, _ = _vumps_iteration(
+    psi_out, eps_out, _, _d = _vumps_iteration(
         psi_s, H, 10, 2, 1e-10, 1e-10, jnp.asarray(1e-8))
 
     np.testing.assert_allclose(float(eps_ref), float(eps_out), atol=1e-9)
