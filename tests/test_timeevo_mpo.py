@@ -88,3 +88,45 @@ def test_apply_identity_mpo():
     psi2 = apply_densempo_finite(I_mpo, psi)
     ov = complex(psi2.dot(psi))
     assert abs(abs(ov) - 1.0) < 1e-9
+
+
+def test_taylorcluster_higher_order_scaling():
+    """TaylorCluster{N} must beat N=1 error scaling against dense expm:
+    err ~ O(dt^{N+1}) per step (reference timeevmpo.jl:12-108 is generic N;
+    done-criterion of round-2 VERDICT item 5)."""
+    L, g, dt = 6, 1.3, 0.05
+    H = transverse_field_ising(g=g)
+    Hd = H.to_matrix(L)
+    U_exact = sla.expm(-1j * dt * Hd)
+    nrm = np.linalg.norm(U_exact)
+
+    errs = {}
+    for N in (1, 2, 3):
+        U = make_time_mpo(H, dt, TaylorCluster(N=N))
+        Ud = _dense_mpo_matrix(U, L)
+        errs[N] = np.linalg.norm(Ud - U_exact) / nrm
+
+    # strictly better at each order
+    assert errs[2] < errs[1] / 10, errs
+    assert errs[3] < errs[2] / 3, errs
+
+    # order check: halving dt must cut the error by ~2^(N+1)
+    for N, floor in ((2, 5.0), (3, 9.0)):
+        U_half = _dense_mpo_matrix(
+            make_time_mpo(H, dt / 2, TaylorCluster(N=N)), L)
+        err_half = np.linalg.norm(
+            U_half - sla.expm(-1j * dt / 2 * Hd)) / nrm
+        assert err_half < errs[N] / floor, (N, errs[N], err_half)
+
+
+def test_taylorcluster_n2_heisenberg():
+    """N=2 on a wider FSM (Heisenberg, w=5): error still 3rd order."""
+    L, dt = 5, 0.05
+    H = heisenberg_XXX(spin=0.5)
+    Hd = H.to_matrix(L)
+    U_exact = sla.expm(-1j * dt * Hd)
+    U2 = _dense_mpo_matrix(make_time_mpo(H, dt, TaylorCluster(N=2)), L)
+    U1 = _dense_mpo_matrix(make_time_mpo(H, dt, TaylorCluster(N=1)), L)
+    nrm = np.linalg.norm(U_exact)
+    assert np.linalg.norm(U2 - U_exact) / nrm \
+        < np.linalg.norm(U1 - U_exact) / nrm / 10
