@@ -56,7 +56,8 @@ from .algorithms import (
     DMRG, DMRG2, IDMRG1, IDMRG2, VUMPS, VOMPS, VUMPS_Boundary,
     GradientGrassmann, TDVP, TDVP2, QuasiparticleAnsatz, FiniteExcited,
     SvdCut, OptimalExpand, RandExpand, VUMPSSvdCut, NaiveInvert, Jeckelmann,
-    DynamicalDMRG, WI, WII, TaylorCluster, FitDMRG,
+    DynamicalDMRG, WI, WII, TaylorCluster, FitDMRG, FitDMRG2,
+    FitIDMRG, FitIDMRG2,
     find_groundstate, leading_boundary, timestep, time_evolve, excitations,
     changebonds, approximate, propagator, expectation_value, correlator,
     entropy, entanglement_spectrum, transfer_spectrum, correlation_length,

@@ -15,7 +15,7 @@ from .dmrgexcitation import FiniteExcited
 from .changebonds import (
     changebonds, SvdCut, RandExpand, OptimalExpand, VUMPSSvdCut,
 )
-from .approximate import approximate, FitDMRG
+from .approximate import approximate, FitDMRG, FitDMRG2, FitIDMRG, FitIDMRG2
 from .propagator import propagator, DynamicalDMRG, NaiveInvert, Jeckelmann
 from .expval import expectation_value
 from .correlators import correlator

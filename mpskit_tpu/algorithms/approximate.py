@@ -46,6 +46,30 @@ class FitDMRG2:
     verbosity: int = Defaults.verbosity
 
 
+@dataclasses.dataclass(frozen=True)
+class FitIDMRG:
+    """IDMRG1-style fitting for infinite states (reference
+    src/algorithms/approximate/idmrg.jl:1-58): environments are *pushed*
+    around the unit cell (with normalization) instead of re-solved each
+    iteration; every site update is a single projection application."""
+
+    tol: float = 1e-10
+    maxiter: int = 100
+    verbosity: int = Defaults.verbosity
+
+
+@dataclasses.dataclass(frozen=True)
+class FitIDMRG2:
+    """IDMRG2-style two-site fitting for infinite states (reference
+    approximate/idmrg.jl:61-145): two-site projections re-split by
+    truncated SVD, adapting the Schmidt content while fitting. Requires a
+    unit cell of >= 2 sites."""
+
+    tol: float = 1e-10
+    maxiter: int = 100
+    verbosity: int = Defaults.verbosity
+
+
 def _as_stack(O, L, dtype):
     if isinstance(O, DenseMPO):
         # handles ragged (size-1 edge) virtual legs by zero-padding
@@ -181,6 +205,8 @@ def approximate(psi, target, alg=None, envs=None):
     if isinstance(psi, FiniteMPS):
         return _approximate_finite(psi, O, phi, alg)
     if isinstance(psi, InfiniteMPS):
+        if isinstance(alg, (FitIDMRG, FitIDMRG2)):
+            return _approximate_idmrg(psi, O, phi, alg)
         return _approximate_infinite(psi, O, phi, alg)
     raise TypeError(type(psi))
 
@@ -237,6 +263,172 @@ def _approximate_finite(psi: FiniteMPS, O, phi: FiniteMPS, alg):
         if eps < alg.tol:
             break
     return FiniteMPS(ALs, ARs, AC, 0), None, eps
+
+
+@jax.jit
+def _fit_idmrg1_iteration(ALs, ARs, Cs, GLs, GRs, Os, phiAL, phiAR, phiAC):
+    """One IDMRG1-fit iteration (reference approximate/idmrg.jl:12-45):
+    L2R then R2L single-site projection sweeps around the unit cell with
+    normalized environment pushes (no fixed-point solves)."""
+    L = ALs.shape[0]
+
+    # L2R: update AL[i], push GL around the cell (wraps into GLs[0])
+    def bodyL(GL, xs):
+        W, pAC, pAL, GR_i = xs
+        AC = ac_apply(GL, W, GR_i, pAC)
+        AC = AC / jnp.maximum(jnp.linalg.norm(AC), 1e-30)
+        AL, C = leftorth(AC)
+        GLn = transfer_left_mpo(GL, W, pAL, AL)
+        GLn = GLn / jnp.maximum(jnp.linalg.norm(GLn), 1e-30)
+        return GLn, (AL, C, GLn)
+
+    _, (ALs_n, CsL, GL_push) = jax.lax.scan(
+        bodyL, GLs[0], (Os, phiAC, phiAL, GRs))
+    GLs = jnp.roll(GL_push, 1, axis=0)  # env pushed past site i -> GLs[i+1]
+
+    # R2L: update AR[i], push GR (wraps into GRs[L-1])
+    def bodyR(GR, xs):
+        W, pAC, pAR, GL_i = xs
+        AC = ac_apply(GL_i, W, GR, pAC)
+        AC = AC / jnp.maximum(jnp.linalg.norm(AC), 1e-30)
+        C, AR = rightorth(AC)
+        GRn = transfer_right_mpo(GR, W, pAR, AR)
+        GRn = GRn / jnp.maximum(jnp.linalg.norm(GRn), 1e-30)
+        return GRn, (AR, C, GRn)
+
+    _, (ARs_n, CsR, GR_push) = jax.lax.scan(
+        bodyR, GRs[L - 1], (Os, phiAC, phiAR, GLs), reverse=True)
+    GRs = jnp.roll(GR_push, -1, axis=0)  # pushed past site i -> GRs[i-1]
+
+    # convergence: C change at the cell boundary, phase-aligned
+    # (CsR[i] lives at the bond LEFT of site i; boundary bond = bond 0)
+    C_new = CsR[0]
+    ph = jnp.vdot(Cs[L - 1], C_new)
+    ph = ph / jnp.maximum(jnp.abs(ph), 1e-30)
+    err = jnp.linalg.norm(C_new - ph * Cs[L - 1])
+    Cs = jnp.roll(CsR, -1, axis=0)      # Cs[i] = bond right of site i
+    return ALs_n, ARs_n, Cs, GLs, GRs, err
+
+
+@jax.jit
+def _fit_idmrg2_iteration(Cs, GLs, GRs, Os, phiAL, phiAR, phiAC):
+    """One IDMRG2-fit iteration (reference approximate/idmrg.jl:61-145):
+    two-site projections theta <- GL W W GR theta_phi, truncated-SVD
+    re-split at static D, wraparound at the cell edges."""
+    from ..tensors.ops import svd_truncated, notrunc
+    from .derivatives import ac2_apply
+
+    L, D, d = phiAC.shape[0], phiAC.shape[1], phiAC.shape[2]
+
+    def split2(theta):
+        U, S, Vh, _ = svd_truncated(theta.reshape(D * d, d * D), D, notrunc())
+        S = S / jnp.maximum(jnp.linalg.norm(S), 1e-30)
+        return U.reshape(D, d, D), S, Vh.reshape(D, d, D)
+
+    ALs = jnp.zeros_like(phiAC)
+    ARs = jnp.zeros_like(phiAC)
+    Cs_new = jnp.zeros_like(Cs)
+
+    # L2R: bonds (i, i+1 mod L) for i = 0..L-1
+    Os_next = jnp.roll(Os, -1, axis=0)
+    phiAR_next = jnp.roll(phiAR, -1, axis=0)
+    GR_next = jnp.roll(GRs, -1, axis=0)
+
+    def bodyL(carry, xs):
+        ALs, ARs, Cs_new, GLs, GRs, i = carry
+        W1, W2, pAC, pARn = xs
+        theta_phi = jnp.einsum("lpm,mqr->lpqr", pAC, pARn)
+        GL_i = GLs[i]
+        GR_n = GRs[(i + 1) % L]
+        theta = ac2_apply(GL_i, W1, W2, GR_n, theta_phi)
+        theta = theta / jnp.maximum(jnp.linalg.norm(theta), 1e-30)
+        AL, S, AR = split2(theta)
+        ALs = ALs.at[i].set(AL)
+        ARs = ARs.at[(i + 1) % L].set(AR)
+        Cs_new = Cs_new.at[i].set(jnp.diag(S.astype(theta.dtype)))
+        GLn = transfer_left_mpo(GL_i, W1, phiAL[i], AL)
+        GLn = GLn / jnp.maximum(jnp.linalg.norm(GLn), 1e-30)
+        GLs = GLs.at[(i + 1) % L].set(GLn)
+        GRn = transfer_right_mpo(GR_n, W2, phiAR[(i + 1) % L], AR)
+        GRn = GRn / jnp.maximum(jnp.linalg.norm(GRn), 1e-30)
+        GRs = GRs.at[i].set(GRn)
+        return (ALs, ARs, Cs_new, GLs, GRs, i + 1), None
+
+    (ALs, ARs, Cs_new, GLs, GRs, _), _ = jax.lax.scan(
+        bodyL, (ALs, ARs, Cs_new, GLs, GRs, 0), (Os, Os_next, phiAC,
+                                                 phiAR_next), length=L)
+
+    # R2L: bonds (i, i+1 mod L) for i = L-2 .. -1 (wrapping)
+    def bodyR(carry, xs):
+        ALs, ARs, Cs_new, GLs, GRs, i = carry
+        ii = i % L
+        jj = (i + 1) % L
+        theta_phi = jnp.einsum("lpm,mqr->lpqr", phiAL[ii], phiAC[jj])
+        theta = ac2_apply(GLs[ii], Os[ii], Os[jj], GRs[jj], theta_phi)
+        theta = theta / jnp.maximum(jnp.linalg.norm(theta), 1e-30)
+        AL, S, AR = split2(theta)
+        ALs = ALs.at[ii].set(AL)
+        ARs = ARs.at[jj].set(AR)
+        Cs_new = Cs_new.at[ii].set(jnp.diag(S.astype(theta.dtype)))
+        GLn = transfer_left_mpo(GLs[ii], Os[ii], phiAL[ii], AL)
+        GLn = GLn / jnp.maximum(jnp.linalg.norm(GLn), 1e-30)
+        GLs = GLs.at[jj].set(GLn)
+        GRn = transfer_right_mpo(GRs[jj], Os[jj], phiAR[jj], AR)
+        GRn = GRn / jnp.maximum(jnp.linalg.norm(GRn), 1e-30)
+        GRs = GRs.at[ii].set(GRn)
+        return (ALs, ARs, Cs_new, GLs, GRs, i - 1), None
+
+    (ALs, ARs, Cs_new, GLs, GRs, _), _ = jax.lax.scan(
+        bodyR, (ALs, ARs, Cs_new, GLs, GRs, L - 2), None, length=L)
+
+    # convergence: change in the boundary-bond singular spectrum
+    # (both Cs hold diagonal singular matrices here; compare spectra)
+    s_new = jnp.sort(jnp.abs(jnp.diagonal(Cs_new[L - 1])))[::-1]
+    s_old = jnp.sort(jnp.abs(jnp.diagonal(Cs[L - 1])))[::-1]
+    err = jnp.linalg.norm(s_new - s_old)
+    return ALs, ARs, Cs_new, GLs, GRs, err
+
+
+def _approximate_idmrg(psi: InfiniteMPS, O, phi: InfiniteMPS, alg):
+    """IDMRG-style approximate for infinite states: initial mixed
+    fixed-point environments once, then cheap pushed-environment sweeps."""
+    from ..environments.infinite_mpo import mpo_environments
+    from ..utils.logging import IterLog
+
+    L, dtype = psi.period, psi.dtype
+    if O is None:
+        O = _identity_mpo(psi.physicaldim, L, dtype)
+    Os = _as_stack(O, L, dtype)
+    two_site = isinstance(alg, FitIDMRG2)
+    if two_site and L < 2:
+        raise ValueError("FitIDMRG2 needs a unit cell of >= 2 sites")
+
+    envs = mpo_environments(phi, O, psi_bra=psi)
+    GLs = envs.GLs / jnp.linalg.norm(
+        envs.GLs.reshape(L, -1), axis=1)[:, None, None, None]
+    GRs = envs.GRs / jnp.linalg.norm(
+        envs.GRs.reshape(L, -1), axis=1)[:, None, None, None]
+    ALs, ARs, Cs = psi.AL, psi.AR, psi.C
+
+    log = IterLog("FitIDMRG2" if two_site else "FitIDMRG", alg.verbosity)
+    err = 1.0
+    for it in range(1, alg.maxiter + 1):
+        if two_site:
+            ALs, ARs, Cs, GLs, GRs, err = _fit_idmrg2_iteration(
+                Cs, GLs, GRs, Os, phi.AL, phi.AR, phi.AC)
+        else:
+            ALs, ARs, Cs, GLs, GRs, err = _fit_idmrg1_iteration(
+                ALs, ARs, Cs, GLs, GRs, Os, phi.AL, phi.AR, phi.AC)
+        err = float(err)
+        if err < alg.tol:
+            break
+    else:
+        log.cancel(it, 0.0, err)
+
+    # final re-gauge from the AR family (reference: MPSMultiline(ψ.AR))
+    out = InfiniteMPS.from_AL(ALs, Cs[L - 1])
+    final_envs = mpo_environments(phi, O, psi_bra=out)
+    return out, final_envs, err
 
 
 def _approximate_infinite(psi: InfiniteMPS, O, phi: InfiniteMPS, alg):
