@@ -158,6 +158,57 @@ def _vumpssvd_cut(psi: InfiniteMPS, H, alg: "VUMPSSvdCut") -> InfiniteMPS:
 # expansion (host-level re-padding)
 # ----------------------------------------------------------------------------
 
+def _expand_finite_optimal(psi: FiniteMPS, extra: int, H) -> FiniteMPS:
+    """Derivative-seeded finite expansion (reference
+    optimalexpand.jl:71-102): at every bond, the two-site derivative is
+    projected on the left/right tangent null spaces; its dominant right
+    singular vectors seed the new AR rows (so the next sweep's effective
+    Hamiltonian at site i already 'sees' the optimal growth directions),
+    while the AL/AC side gets zero columns — the state is unchanged.
+    """
+    from ..states.finitemps import support_mask
+    from ..states.quasiparticle import full_gauges
+    from ..environments.finite import (
+        compute_left_envs, compute_right_envs, left_boundary, right_boundary,
+    )
+
+    L, D, d = psi.length, psi.D, psi.physicaldim
+    D_new = D + extra
+    dtype = psi.dtype
+    Ws = stack_W(H, L).astype(dtype)
+    w = Ws.shape[1]
+
+    ALs_f, ARs_f = full_gauges(psi)
+    GLs = compute_left_envs(ALs_f, Ws, left_boundary(w, D, dtype))
+    GRs = compute_right_envs(ARs_f, Ws, right_boundary(w, D, dtype))
+
+    psi0 = psi.move_center(0)
+    ALs_new = _pad_bond(psi0.ALs, D_new, (1, 3))
+    ARs_new = _pad_bond(psi0.ARs, D_new, (1, 3))
+    AC_new = _pad_bond(psi0.AC, D_new, (0, 2))
+
+    p = psi0
+    for i in range(L - 1):
+        p = p.move_center(i)
+        AC_i = p.AC
+        theta = jnp.einsum("lpm,mqr->lpqr", AC_i, ARs_f[i + 1])
+        h2 = ac2_apply(GLs[i], Ws[i], Ws[i + 1], GRs[i + 2], theta)
+        NL = leftnull(AC_i)                 # (D, d, Dd - D)
+        NR = rightnull(ARs_f[i + 1])        # (Dd - D, d, D)
+        M = jnp.einsum("lpk,lpqr,mqr->km", NL.conj(), h2, NR.conj())
+        # dominant RIGHT singular vectors -> new AR rows (ref: V * NR)
+        _, S, Vh = jnp.linalg.svd(M, full_matrices=False)
+        e = min(extra, Vh.shape[0])
+        seed = jnp.einsum("em,mqr->eqr", Vh[:e], NR)
+        ARs_new = ARs_new.at[i + 1, D:D + e, :, :D].set(seed)
+
+    mask = jnp.asarray(support_mask(L, d, D_new)).astype(dtype)
+    ARs_new = ARs_new * mask
+    ALs_new = ALs_new * mask
+    AC_new = AC_new * mask[0]
+    return FiniteMPS(ALs_new, ARs_new, AC_new, 0)
+
+
 def _pad_bond(arr, D_new, axes):
     pads = [(0, 0)] * arr.ndim
     for ax in axes:
@@ -182,6 +233,8 @@ def _expand(psi, extra: int, H=None, optimal: bool = False):
     key = jax.random.PRNGKey(42)
 
     if isinstance(psi, FiniteMPS):
+        if optimal and H is not None:
+            return _expand_finite_optimal(psi, extra, H)
         D = psi.D
         D_new = D + extra
         psi0 = psi.move_center(0)

@@ -71,3 +71,47 @@ def test_vumpssvdcut():
     assert cut.period == 2  # unit cell doubled for the two-site update
     e = float(np.mean(np.asarray(expectation_value(cut, H))))
     assert abs(e - tfim_exact_density(g)) < 1e-5
+
+
+def test_finite_optimalexpand_beats_randexpand():
+    """Derivative-seeded finite expansion (reference
+    optimalexpand.jl:71-102) must converge measurably faster than random
+    expansion at the same D schedule (round-2 VERDICT item 7 done-
+    criterion): spin-1 Heisenberg, D 8 -> 16, energy after equal sweeps."""
+    from mpskit_tpu.models import heisenberg_XXX
+    from mpskit_tpu.algorithms.dmrg import find_groundstate_dmrg, DMRG, \
+        _dmrg_sweep
+    from mpskit_tpu.algorithms.changebonds import OptimalExpand, RandExpand
+    from mpskit_tpu.environments.finite import (
+        compute_right_envs, right_boundary, stack_W,
+    )
+    from mpskit_tpu.states.finitemps import support_mask
+
+    L, D0, extra = 32, 8, 8
+    H = heisenberg_XXX(spin=1.0)
+    psi = FiniteMPS.random(jax.random.PRNGKey(0), L, 3, D0,
+                           dtype=jnp.complex128)
+    psi, _, _ = find_groundstate_dmrg(
+        psi, H, DMRG(tol=1e-8, maxiter=30, verbosity=0))
+
+    def energy_after_sweeps(p, n):
+        Ws = stack_W(H, p.length).astype(p.dtype)
+        GRs = compute_right_envs(
+            p.ARs, Ws, right_boundary(Ws.shape[1], p.D, p.dtype))
+        masks = jnp.asarray(support_mask(p.length, 3, p.D))
+        ALs, ARs, AC = p.ALs, p.ARs, p.AC
+        lam = None
+        for _ in range(n):
+            ALs, ARs, AC, GRs, lam, _eps, _d = _dmrg_sweep(
+                ALs, ARs, AC, Ws, GRs, jnp.asarray(1e-8), 20, 4,
+                masks=masks)
+        return float(jnp.real(lam))
+
+    opt = changebonds(psi, H, OptimalExpand(dims=extra))
+    rnd = changebonds(psi, RandExpand(dims=extra))
+    # the expansion must not change the state
+    assert abs(abs(complex(opt.normalize().dot(psi))) - 1) < 1e-10
+
+    e_opt = energy_after_sweeps(opt, 2)
+    e_rnd = energy_after_sweeps(rnd, 2)
+    assert e_opt < e_rnd - 1e-3, (e_opt, e_rnd)
