@@ -45,18 +45,23 @@ def transfer_right_block(v, Wab, A_ket, A_bra):
 
 def _source_col_left(GL_i, Wcol, A):
     """Contributions into one FSM level from all lower levels:
-    GL_i (w, D, D), Wcol (w, d, d) with the diagonal entry zeroed."""
-    t = jnp.einsum("axy,ytn->axtn", GL_i, A)
-    t = jnp.einsum("axtn,ast->xsn", t, Wcol)
-    return jnp.einsum("xsm,xsn->mn", A.conj(), t)
+    GL_i (w, D, D), Wcol (w, d, d) with the diagonal entry zeroed.
+
+    Order fixed by the native planner (tests/test_contraction_golden.py):
+    folding the small W column into GL first costs d^2 D^3 + d D^3
+    instead of 2 w d D^3 — 2x cheaper at w=5."""
+    t = jnp.einsum("axy,ast->xyst", GL_i, Wcol)      # w d^2 D^2
+    t = jnp.einsum("xyst,xsm->ytm", t, A.conj())     # d^2 D^3
+    return jnp.einsum("ytm,ytn->mn", t, A)           # d D^3
 
 
 def _source_row_right(GR_i, Wrow, A):
     """Right-moving: contributions into one level from all higher levels:
-    GR_i (w, D, D), Wrow (w, d, d) (the b-index row W[i][a, :], diag zeroed)."""
-    t = jnp.einsum("ytn,bmn->bytm", A, GR_i)
-    t = jnp.einsum("bytm,bst->ysm", t, Wrow)
-    return jnp.einsum("xsm,ysm->xy", A.conj(), t)
+    GR_i (w, D, D), Wrow (w, d, d) (the b-index row W[i][a, :], diag zeroed).
+    Planner-optimal order (see _source_col_left)."""
+    t = jnp.einsum("bmn,bst->mnst", GR_i, Wrow)      # w d^2 D^2
+    t = jnp.einsum("mnst,xsm->ntx", t, A.conj())     # d^2 D^3
+    return jnp.einsum("ntx,ytn->xy", t, A)           # d D^3
 
 
 @jax.tree_util.register_pytree_node_class
