@@ -47,9 +47,11 @@ class DMRG:
     verbosity: int = Defaults.verbosity
     finalize: Optional[Callable] = None
     fast_qr: Optional[bool] = None
-    # Lanczos reorthogonalization: "local" (3-term recurrence, the fast
-    # restarted-site-solve path) or "full" (two-pass CGS each step).
-    reorth: str = "local"
+    # Lanczos reorthogonalization: "local1" (single-pass 3-term recurrence,
+    # the fastest restarted-site-solve path; f64 energies match the full
+    # path to ~1e-13 on the ED fixtures), "local" (adds a corrective pass)
+    # or "full" (two-pass CGS against the whole basis each step).
+    reorth: str = "local1"
 
 
 def bulk_rank_flags(L: int, d: int, D: int):

@@ -66,6 +66,58 @@ def _w_ac(GL, W, GR, AC):
     return ac_apply(GL, W, GR, AC)
 
 
+def _string_step(v, A_ket, O, A_bra):
+    """v (x_bra, k, y_ket) -> through one site of an MPO string
+    O (k, s, t, k') (decompose_localmpo convention)."""
+    t = jnp.einsum("xky,ytn->xktn", v, A_ket)
+    t = jnp.einsum("xktn,kstK->xsKn", t, O.astype(t.dtype))
+    return jnp.einsum("xsm,xsKn->mKn", A_bra.conj(), t)
+
+
+def _expval_local_string(psi, O_nbody, at: int):
+    """<psi| O_{at..at+n-1} |psi> for an n-site local operator
+    (reference src/algorithms/expval.jl:42-61): decompose into an MPO
+    string, transfer through the mixed gauge, close at the center."""
+    from ..operators.mpo import decompose_localmpo
+    from ..states.infinitemps import InfiniteMPS
+
+    O_nbody = np.asarray(O_nbody)
+    if O_nbody.ndim == 2 and O_nbody.shape[0] > psi.physicaldim:
+        d = psi.physicaldim
+        n = int(round(np.log(O_nbody.shape[0]) / np.log(d)))
+        O_nbody = O_nbody.reshape((d,) * (2 * n))
+    Os = decompose_localmpo(O_nbody)
+    n = len(Os)
+
+    if isinstance(psi, InfiniteMPS):
+        L = psi.period
+        D = psi.D
+        v = jnp.eye(D, dtype=psi.dtype)[:, None, :]
+        for j in range(n):
+            A = psi.AL[(at + j) % L]
+            v = _string_step(v, A, jnp.asarray(Os[j]), A)
+        C = psi.C[(at + n - 1) % L]
+        return jnp.einsum("xky,yc,xc->", v, C, C.conj())[()]
+
+    # finite / window: AL up to the last site, close with AC there
+    from ..states.windowmps import WindowMPS
+
+    if isinstance(psi, WindowMPS):
+        psi = psi.window
+    assert at + n <= psi.length, "operator string exceeds the chain"
+    p = psi.move_center(at + n - 1)
+    D = p.D
+    v = jnp.eye(D, dtype=p.dtype)[:, None, :]
+    for j in range(n - 1):
+        A = p.ALs[at + j]
+        v = _string_step(v, A, jnp.asarray(Os[j]), A)
+    # last site: ket/bra = AC, then the AR gauge to the right closes to a
+    # trace over the final bond
+    v = _string_step(v, p.AC, jnp.asarray(Os[n - 1]), p.AC)
+    den = jnp.vdot(p.AC, p.AC)
+    return jnp.einsum("mkm->k", v)[0] / den
+
+
 def infinite_temperature(H) -> DenseMPO:
     """Identity density matrix as a DenseMPO (reference
     src/algorithms/toolbox.jl:7-10)."""
@@ -99,6 +151,9 @@ def expectation_value(psi, O, *args, envs=None):
             return _expval_finite_densempo(psi, O)
         if isinstance(O, tuple) and len(O) == 2:
             site, op = O
+            op_arr = np.asarray(op)
+            if op_arr.ndim > 2 or op_arr.shape[0] > psi.physicaldim:
+                return _expval_local_string(psi, op_arr, site)
             return _expval_finite_local(psi, op, site)
         raise TypeError(f"unsupported operator type {type(O)} for FiniteMPS")
 
@@ -129,11 +184,17 @@ def expectation_value(psi, O, *args, envs=None):
             expval_infinite_local,
         )
         if isinstance(O, MPOHamiltonian):
+            if args and isinstance(args[0], (range, int)):
+                from .expval_infinite import expval_infinite_ranged
+                return expval_infinite_ranged(psi, O, args[0], envs)
             return expval_infinite_mpoham(psi, O, envs)
         if isinstance(O, DenseMPO):
             return expval_infinite_densempo(psi, O, envs)
         if isinstance(O, tuple) and len(O) == 2:
             site, op = O
+            op_arr = np.asarray(op)
+            if op_arr.ndim > 2 or op_arr.shape[0] > psi.physicaldim:
+                return _expval_local_string(psi, op_arr, site)
             return expval_infinite_local(psi, op, site)
         raise TypeError(f"unsupported operator type {type(O)} for InfiniteMPS")
 

@@ -51,3 +51,31 @@ def expval_infinite_densempo(psi: InfiniteMPS, O: DenseMPO, envs=None):
     if envs is None:
         envs = mpo_environments(psi, O)
     return envs.lambda_cell ** (1.0 / psi.period)
+
+
+def expval_infinite_ranged(psi: InfiniteMPS, H: MPOHamiltonian, rng,
+                           envs=None):
+    """Energy of the MPO Hamiltonian restricted to a window of sites
+    (reference src/algorithms/expval.jl:127-152): returns f + n*e_density,
+    where f is the boundary free-energy-like constant. The left environment
+    at rng.start is closed with C on both layers, transferred through the
+    window in the AR gauge, and paired with the right environment."""
+    from ..transfermatrix.transfer import transfer_left_mpo
+
+    if isinstance(rng, int):
+        rng = range(0, rng)
+    if envs is None:
+        envs = hamiltonian_environments(psi, H)
+    L = psi.period
+    start, stop = rng.start, rng.stop - 1  # inclusive stop site
+    dtype = psi.dtype
+
+    C0 = psi.C[(start - 1) % L].astype(dtype)
+    # close the left env onto the bond basis: x[a, bra, ket]
+    x = jnp.einsum("axy,xm,yn->amn", envs.GLs[start % L], C0.conj(), C0)
+    for i in range(start, stop + 1):
+        W = H.site(i).astype(dtype)
+        A = psi.AR[i % L]
+        x = transfer_left_mpo(x, W, A, A)
+    tot = jnp.einsum("axy,axy->", x, envs.GRs[stop % L])
+    return tot
