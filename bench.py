@@ -1,14 +1,17 @@
-"""Benchmark: one-site DMRG sweep time, finite TFIM at D=512
-(the driver-defined headline metric, see BASELINE.md).
+"""Benchmark: the two driver-defined metrics (see BASELINE.md):
+  1. VUMPS iteration time, infinite TFIM at D=256 (one JSON line), then
+  2. one-site DMRG sweep time, finite TFIM at D=512 (the headline metric,
+     printed LAST so a last-line parser picks it up).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Each line is {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline is the measured sweep time relative to a 64-core CPU reference
-of 4.35 s/sweep. That reference is derived from a MEASURED single-core CPU
-run of this exact sweep (XLA CPU backend, float64: 278 s/sweep on this
-machine) scaled by an idealized 64x: the reference library publishes no
-numbers (see BASELINE.md), so perfect CPU scaling is assumed — a
-conservative (reference-favoring) baseline. vs_baseline > 1 means faster.
+vs_baseline compares against a 64-core CPU reference derived from a
+MEASURED single-core CPU run of the exact same code (XLA CPU backend,
+float64: 278 s/sweep for the DMRG sweep, 99.4 s/iter for the VUMPS
+iteration on this machine) scaled by an idealized 64x: the reference
+library publishes no numbers (see BASELINE.md), so perfect CPU scaling is
+assumed — a conservative (reference-favoring) baseline. vs_baseline > 1
+means faster.
 """
 
 import json
@@ -29,6 +32,44 @@ RESTARTS = 2
 DTYPE = jnp.float32  # MXU path; float64 available for 1e-8 parity runs
 
 CPU_REFERENCE_SWEEP_S = 278.13 / 64  # measured 1-core / idealized 64x scaling
+CPU_REFERENCE_VUMPS_S = 99.41 / 64   # measured 1-core VUMPS iter, D=256 f64
+D_VUMPS = 256
+
+
+def bench_vumps():
+    """Steady-state VUMPS iteration (warm-started environments) on the
+    infinite TFIM at D=256 — the second BASELINE.md metric."""
+    from mpskit_tpu.models import transverse_field_ising
+    from mpskit_tpu.states import InfiniteMPS
+    from mpskit_tpu.algorithms.vumps import _vumps_iteration
+    from mpskit_tpu.config import matmul_precision
+    import numpy as np
+
+    dtype = DTYPE
+    H = transverse_field_ising(g=G, dtype=np.float64)
+    psi = InfiniteMPS.random(jax.random.PRNGKey(0), 1, 2, D_VUMPS,
+                             dtype=dtype)
+    tol = jnp.asarray(1e-6, jnp.float32)
+    env = None
+    with matmul_precision(dtype):
+        for _ in range(3):   # compile + settle into warm-start regime
+            psi, eps, env, _d = _vumps_iteration(
+                psi, H, KRYLOVDIM, RESTARTS, 1e-8, 1e-8, tol, env_guess=env)
+        float(eps)           # host readback = real sync on axon
+        n = 3
+        t0 = time.perf_counter()
+        for _ in range(n):
+            psi, eps, env, _d = _vumps_iteration(
+                psi, H, KRYLOVDIM, RESTARTS, 1e-8, 1e-8, tol, env_guess=env)
+        float(eps)
+        dt = (time.perf_counter() - t0) / n
+    assert np.isfinite(float(eps))
+    print(json.dumps({
+        "metric": f"vumps_iteration_time_tfim_D{D_VUMPS}_{jnp.dtype(DTYPE).name}",
+        "value": round(dt, 4),
+        "unit": "s",
+        "vs_baseline": round(CPU_REFERENCE_VUMPS_S / dt, 2),
+    }))
 
 
 def main():
@@ -84,4 +125,5 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    bench_vumps()
+    main()   # headline DMRG metric printed last

@@ -94,10 +94,14 @@ class MPOHamiltonian:
     nonzero_mask: Tuple[Tuple[bool, ...], ...]  # (w, w), static, any-site union
     diag_class: Tuple[int, ...]                 # per level, product over cell
     diag_scalar: Tuple[complex, ...]            # scalar value for DIAG_SCALAR
+    # per-site auxiliary abelian charges fused onto the physical legs
+    # (set by add_physical_charge; consumed by symmetry.charges masks)
+    aux_charges: Tuple[int, ...] = ()
 
     # -- pytree plumbing ------------------------------------------------
     def tree_flatten(self):
-        return (self.W,), (self.nonzero_mask, self.diag_class, self.diag_scalar)
+        return (self.W,), (self.nonzero_mask, self.diag_class,
+                           self.diag_scalar, self.aux_charges)
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -297,6 +301,57 @@ class MPOHamiltonian:
         return MPOHamiltonian._analyze(np.conj(np.transpose(np.asarray(self.W),
                                                             (0, 1, 2, 4, 3))))
 
+    def remove_orphans(self) -> "MPOHamiltonian":
+        """Dead-branch elimination (reference sparsempo.jl:310-349):
+        iteratively zero FSM levels that are dead starts (all-zero row at a
+        site kills the feeding column at the previous site) or dead ends
+        (all-zero column kills the fed row at the next site), then drop
+        levels that are dead at every site."""
+        W = np.array(self.W)
+        tol = 1e-14
+        while True:
+            L, w = W.shape[0], W.shape[1]
+            dead_start = np.ones(w, bool)
+            dead_end = np.ones(w, bool)
+            for loc in range(L):
+                for i in range(w):
+                    row_zero = np.max(np.abs(W[loc, i, :])) <= tol
+                    col_zero = np.max(np.abs(W[loc, :, i])) <= tol
+                    if row_zero:
+                        W[(loc - 1) % L, :, i] = 0.0
+                    else:
+                        dead_start[i] = False
+                    if col_zero:
+                        W[(loc + 1) % L, i, :] = 0.0
+                    else:
+                        dead_end[i] = False
+            removable = dead_start | dead_end
+            if not removable.any():
+                break
+            keep = np.nonzero(~removable)[0]
+            W = W[:, keep][:, :, keep]
+        return MPOHamiltonian._analyze(W)
+
+    def add_physical_charge(self, charges) -> "MPOHamiltonian":
+        """Fuse a one-dimensional abelian auxiliary charge onto the
+        physical leg of each site (reference sparsempo.jl:353-379,
+        mpohamiltonian.jl:167). In the masked-dense backend every auxiliary
+        space is one-dimensional, so the FSM numbers are unchanged — the
+        shift is bookkeeping consumed by the symmetric-state constructors
+        (see symmetry.charges: the site-i conservation rule becomes
+        c_left + q_phys + aux[i] == c_right)."""
+        charges = tuple(int(c) for c in charges)
+        from math import gcd
+
+        Lc = len(charges)
+        L = self.period
+        period = L * Lc // gcd(L, Lc)
+        W = np.asarray(self.W)
+        W_tiled = np.tile(W, (period // L, 1, 1, 1, 1))
+        out = MPOHamiltonian._analyze(W_tiled)
+        aux = tuple(charges[i % Lc] for i in range(period))
+        return dataclasses.replace(out, aux_charges=aux)
+
     # -- dense matrix (test oracle) ---------------------------------------
     def to_matrix(self, L: int) -> np.ndarray:
         """Full 2^L-by-2^L (d^L) Hamiltonian matrix for exact
@@ -361,6 +416,43 @@ class DenseMPO:
         for i, o in enumerate(self.Os):
             out = out.at[i, : o.shape[0], : o.shape[1]].set(o.astype(dt))
         return out
+
+    def compress(self, tol: float = 1e-12) -> "DenseMPO":
+        """SVD compression of the virtual bonds (reference
+        convert(DenseMPO, SparseMPO), sparsempo.jl:282-308: a left-to-right
+        pass truncating each right bond below `tol`, then a right-to-left
+        pass on the left bonds). Host-side numpy; returns a DenseMPO with
+        (possibly ragged) reduced virtual dimensions."""
+        data = [np.asarray(o) for o in self.Os]
+        L = len(data)
+
+        def trunc_svd(M):
+            U, S, Vh = np.linalg.svd(M, full_matrices=False)
+            keep = S > tol * max(S[0], 1e-300)
+            r = max(int(keep.sum()), 1)
+            return U[:, :r], S[:r], Vh[:r]
+
+        # L2R: compress the right virtual leg, push S V into the next site
+        for i in range(L):
+            a, b, ds, dt = data[i].shape
+            M = data[i].transpose(0, 2, 3, 1).reshape(a * ds * dt, b)
+            U, S, Vh = trunc_svd(M)
+            r = S.shape[0]
+            data[i] = U.reshape(a, ds, dt, r).transpose(0, 3, 1, 2)
+            nxt = (i + 1) % L
+            data[nxt] = np.einsum("rb,bcst->rcst", S[:, None] * Vh,
+                                  data[nxt])
+        # R2L: compress the left virtual leg, push U S into the previous
+        for i in range(L - 1, -1, -1):
+            a, b, ds, dt = data[i].shape
+            M = data[i].reshape(a, b * ds * dt)
+            U, S, Vh = trunc_svd(M)
+            r = S.shape[0]
+            data[i] = Vh.reshape(r, b, ds, dt)
+            prv = (i - 1) % L
+            data[prv] = np.einsum("abst,br->arst", data[prv],
+                                  U * S[None, :])
+        return DenseMPO(tuple(jnp.asarray(o) for o in data))
 
     def __matmul__(self, other: "DenseMPO") -> "DenseMPO":
         assert self.period == other.period

@@ -34,15 +34,22 @@ from ..states.finitemps import FiniteMPS, physical_bond_dims
 
 
 def assign_bond_charges(L: int, phys_charges: Sequence[int], D: int,
-                        total: int = 0) -> List[np.ndarray]:
+                        total: int = 0,
+                        aux_charges: Sequence[int] = None) -> List[np.ndarray]:
     """Static charge label vectors for the L+1 bonds of a finite chain with
     total charge `total`: bond i gets labels drawn from the attainable
     partial-sum charges, with multiplicities proportional to the number of
     paths (a Pascal-triangle count), capped to D per bond and the physical
-    rank. Bond 0 carries charge 0, bond L carries `total`."""
+    rank. Bond 0 carries charge 0, bond L carries `total`.
+
+    aux_charges: optional per-site auxiliary charge fused onto the physical
+    leg (the masked-dense realization of the reference's
+    `add_physical_charge`, sparsempo.jl:353-379): site i's conservation
+    rule becomes c_left + q_phys + aux[i] == c_right."""
     phys = np.asarray(phys_charges, int)
     d = len(phys)
     dims = physical_bond_dims(L, d, D)
+    aux = np.zeros(L, int) if aux_charges is None else         np.asarray([aux_charges[i % len(aux_charges)] for i in range(L)], int)
 
     # forward path counts: ways to reach charge q after i sites
     fwd = [dict() for _ in range(L + 1)]
@@ -50,14 +57,14 @@ def assign_bond_charges(L: int, phys_charges: Sequence[int], D: int,
     for i in range(L):
         for q, n in fwd[i].items():
             for p in phys:
-                fwd[i + 1][q + p] = fwd[i + 1].get(q + p, 0.0) + n
+                fwd[i + 1][q + p + aux[i]] =                     fwd[i + 1].get(q + p + aux[i], 0.0) + n
     # backward counts: ways from charge q at bond i to `total` at bond L
     bwd = [dict() for _ in range(L + 1)]
     bwd[L][total] = 1.0
     for i in range(L - 1, -1, -1):
         for q, n in bwd[i + 1].items():
             for p in phys:
-                bwd[i][q - p] = bwd[i].get(q - p, 0.0) + n
+                bwd[i][q - p - aux[i]] = bwd[i].get(q - p - aux[i], 0.0) + n
 
     charges = []
     for i in range(L + 1):
@@ -106,16 +113,19 @@ def assign_bond_charges(L: int, phys_charges: Sequence[int], D: int,
 
 
 def charge_masks_finite(bond_charges: List[np.ndarray],
-                        phys_charges: Sequence[int]) -> np.ndarray:
-    """(L, D, d, D) boolean conservation masks."""
+                        phys_charges: Sequence[int],
+                        aux_charges: Sequence[int] = None) -> np.ndarray:
+    """(L, D, d, D) boolean conservation masks; aux_charges optionally
+    shift the conservation rule per site (see assign_bond_charges)."""
     L = len(bond_charges) - 1
     D = bond_charges[0].shape[0]
     phys = np.asarray(phys_charges, int)
     d = len(phys)
     masks = np.zeros((L, D, d, D), bool)
     for i in range(L):
+        a = 0 if aux_charges is None else int(aux_charges[i % len(aux_charges)])
         cl = bond_charges[i][:, None, None]
-        cp = phys[None, :, None]
+        cp = phys[None, :, None] + a
         cr = bond_charges[i + 1][None, None, :]
         masks[i] = (cl + cp) == cr
     return masks
