@@ -84,7 +84,7 @@ def _galerkin_right(AR, y):
 @partial(jax.jit, static_argnums=(6, 7), static_argnames=("reorth",))
 def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
                 GL0=None, GRL=None, masks=None, bulk_flags=None,
-                reorth: str = "local"):
+                reorth: str = "local1"):
     """One full DMRG sweep (L2R over sites 0..L-2, R2L over L-1..1),
     starting and ending with center = 0. Returns updated tensors, fresh
     right environments, the last eigenvalue and the max Galerkin residual.

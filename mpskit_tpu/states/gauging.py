@@ -58,11 +58,17 @@ def uniform_leftorth(A, C0, tol: float = Defaults.tolgauge,
     ALs, Cs, C_end = _left_qr_sweep(A, C0)
 
     def cond(state):
-        _, _, _, err, it = state
-        return jnp.logical_and(it < maxiter, err > tol)
+        _, _, _, err, stall, it = state
+        # stop on convergence, maxiter, or stagnation (3 consecutive
+        # iterations without a 10% error reduction): in low precision the
+        # error floor sits far above tol and the loop would otherwise burn
+        # maxiter full Arnoldi+QR cycles every call (measured: 94% of a
+        # D=256 f32 VUMPS iteration before this guard).
+        return jnp.logical_and(
+            jnp.logical_and(it < maxiter, err > tol), stall < 3)
 
     def body(state):
-        ALs, Cs, C_end, err, it = state
+        ALs, Cs, C_end, err, stall, it = state
 
         def accel(C_end):
             mv_cell = _mixed_cell_transfer_left(A, ALs)
@@ -73,12 +79,16 @@ def uniform_leftorth(A, C0, tol: float = Defaults.tolgauge,
 
         C_eig = jax.lax.cond(it >= eig_miniter, accel, lambda C: C, C_end)
         ALs, Cs, C_end = _left_qr_sweep(A, C_eig)
-        err = jnp.linalg.norm(C_end - C_eig)
-        return ALs, Cs, C_end, err, it + 1
+        err_new = jnp.linalg.norm(C_end - C_eig)
+        # only count stagnation once the Arnoldi acceleration is active
+        stall = jnp.where((err_new > 0.9 * err) & (it >= eig_miniter),
+                          stall + 1, 0)
+        return ALs, Cs, C_end, err_new, stall, it + 1
 
     rdt = jnp.zeros((), A.dtype).real.dtype
-    state = (ALs, Cs, C_end, jnp.array(jnp.inf, rdt), jnp.zeros((), jnp.int32))
-    ALs, Cs, C_end, err, it = jax.lax.while_loop(cond, body, state)
+    state = (ALs, Cs, C_end, jnp.array(jnp.inf, rdt),
+             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    ALs, Cs, C_end, err, _stall, it = jax.lax.while_loop(cond, body, state)
     return ALs, Cs, err
 
 
@@ -91,11 +101,17 @@ def uniform_rightorth(A, C0, tol: float = Defaults.tolgauge,
     ARs, Cs, C_end = _right_lq_sweep(A, C0)
 
     def cond(state):
-        _, _, _, err, it = state
-        return jnp.logical_and(it < maxiter, err > tol)
+        _, _, _, err, stall, it = state
+        # stop on convergence, maxiter, or stagnation (3 consecutive
+        # iterations without a 10% error reduction): in low precision the
+        # error floor sits far above tol and the loop would otherwise burn
+        # maxiter full Arnoldi+QR cycles every call (measured: 94% of a
+        # D=256 f32 VUMPS iteration before this guard).
+        return jnp.logical_and(
+            jnp.logical_and(it < maxiter, err > tol), stall < 3)
 
     def body(state):
-        ARs, Cs, C_end, err, it = state
+        ARs, Cs, C_end, err, stall, it = state
 
         def accel(C_end):
             # the mixed right-transfer fixed point is C^T (bra index pairs
@@ -108,12 +124,15 @@ def uniform_rightorth(A, C0, tol: float = Defaults.tolgauge,
 
         C_eig = jax.lax.cond(it >= eig_miniter, accel, lambda C: C, C_end)
         ARs, Cs, C_end = _right_lq_sweep(A, C_eig)
-        err = jnp.linalg.norm(C_end - C_eig)
-        return ARs, Cs, C_end, err, it + 1
+        err_new = jnp.linalg.norm(C_end - C_eig)
+        stall = jnp.where((err_new > 0.9 * err) & (it >= eig_miniter),
+                          stall + 1, 0)
+        return ARs, Cs, C_end, err_new, stall, it + 1
 
     rdt = jnp.zeros((), A.dtype).real.dtype
-    state = (ARs, Cs, C_end, jnp.array(jnp.inf, rdt), jnp.zeros((), jnp.int32))
-    ARs, Cs, C_end, err, it = jax.lax.while_loop(cond, body, state)
+    state = (ARs, Cs, C_end, jnp.array(jnp.inf, rdt),
+             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    ARs, Cs, C_end, err, _stall, it = jax.lax.while_loop(cond, body, state)
     return ARs, Cs, err
 
 
