@@ -214,39 +214,117 @@ def exact_diagonalization(H, L: int, num: int = 1, dtype=jnp.complex128,
 # ----------------------------------------------------------------------------
 
 def periodic_boundary_conditions(H, L: int):
-    """Wrap an MPOHamiltonian built from (at most) 2-site local terms onto a
-    ring of L sites: the boundary interaction travels through extra FSM
-    channels that stay open across the whole chain. Returns per-site FSM
-    tensors as a stacked (L, w+r, w+r, d, d) MPOHamiltonian."""
+    """Wrap an MPOHamiltonian onto a ring of L sites (reference
+    toolbox.jl:186-306, general FSM case). The reference tracks triples
+    (progress-above, lent level, progress-below) through fuser isometries;
+    in the dense backend the same bookkeeping is explicit wrap channels:
+
+    A term crossing the cut occupies FSM level b ("lent") at the bond
+    between sites L-1 and 0. Its remainder is carried by channels
+    (b, a, phase): the TAIL continues the original FSM from level b at
+    site 0 (a walks b -> end), then WAITS on the identity, then the HEAD
+    replays the start of the FSM (a walks start -> b) and closes exactly
+    at level b on the last site. Injection/closure are absorbed into the
+    site-0 row and site-(L-1) column, so the standard open-chain boundary
+    vectors (level 0 left, last level right) apply unchanged.
+
+    Supports arbitrary n-site interactions (any upper-triangular FSM,
+    including nonzero mid diagonals = exponential interactions) and
+    multi-site unit cells (L must be a multiple of the period)."""
     import numpy as np
     from ..operators.mpo import MPOHamiltonian
 
-    assert H.period == 1, "PBC wrapping currently assumes a 1-site cell"
-    W = np.asarray(H.W[0])
+    P = H.period
+    assert L % P == 0, "ring length must be a multiple of the unit cell"
+    W = np.asarray(H.W)
     w, d = H.odim, H.physicaldim
-    # channels: FSM mid-levels k = 1..w-2 carry 2-site terms M1_k (x) M2_k
-    # with M1_k = W[0, k], M2_k = W[k, end]
-    r = w - 2
-    wn = w + r
-    # level layout: 0 = start, 1..w-2 = OBC mids, w-1..wn-2 = boundary
-    # carries, wn-1 = end (the final level must stay last)
-    def remap(a):
+    mids = range(1, w - 1)
+
+    # wrap-channel index map
+    extra = []
+    for b in mids:
+        for a in range(b, w):          # tail states (a = w-1 is "waiting")
+            extra.append(("T", b, a))
+        for a in range(1, b + 1):      # head states (mid levels <= b)
+            extra.append(("H", b, a))
+    wn = w + len(extra)
+    emap = {lbl: w - 1 + i for i, lbl in enumerate(extra)}
+
+    def lvl(a):   # base levels keep their index; end moves to the last slot
         return wn - 1 if a == w - 1 else a
 
     Ws = np.zeros((L, wn, wn, d, d), W.dtype)
     for i in range(L):
+        Wi = W[i % P]
+        # base OBC transitions
         for a in range(w):
             for b in range(w):
-                Ws[i, remap(a), remap(b)] = W[a, b]
-    # boundary term: at site 0 emit M2_k into carry channel (w - 1 + k - 1),
-    # carry identity through sites 1..L-2, close with M1_k at site L-1
-    for k in range(1, w - 1):
-        c = w - 2 + k
-        Ws[0, 0, c] = W[k, w - 1]          # M2_k applied at site 0
-        for i in range(1, L - 1):
-            Ws[i, c, c] = np.eye(d)
-        Ws[L - 1, c, wn - 1] = W[0, k]     # M1_k applied at site L-1
-    return MPOHamiltonian.from_dense_W(Ws)
+                Ws[i, lvl(a), lvl(b)] += Wi[a, b]
+        for b in mids:
+            # tail progress (T,b,a) -> (T,b,a2) via the original FSM
+            for a in range(b, w - 1):
+                for a2 in range(a, w):
+                    Ws[i, emap[("T", b, a)], emap[("T", b, a2)]] += Wi[a, a2]
+            # waiting: identity carry
+            Ws[i, emap[("T", b, w - 1)], emap[("T", b, w - 1)]] += \
+                Wi[w - 1, w - 1]
+            # head start from waiting, then head progress below level b
+            for k in range(1, b + 1):
+                Ws[i, emap[("T", b, w - 1)], emap[("H", b, k)]] += Wi[0, k]
+                for k2 in range(k, b + 1):
+                    Ws[i, emap[("H", b, k)], emap[("H", b, k2)]] += Wi[k, k2]
+
+    # site-0 injection: the tail's first operator continues from the lent
+    # level b (absorbed into the start row)
+    for b in mids:
+        for a2 in range(b, w):
+            Ws[0, 0, emap[("T", b, a2)]] += W[0][b, a2]
+    # site-(L-1) closure: the head's last operator reaches level b at the
+    # cut (absorbed into the end column); incl. single-site heads from the
+    # waiting state
+    for b in mids:
+        WL = W[(L - 1) % P]
+        Ws[L - 1, emap[("T", b, w - 1)], wn - 1] += WL[0, b]
+        for k in range(1, b + 1):
+            Ws[L - 1, emap[("H", b, k)], wn - 1] += WL[k, b]
+    # wrap channels must not leak through the open boundaries
+    for lbl, c in emap.items():
+        Ws[0, c, :] = 0.0
+        Ws[L - 1, :, c] = 0.0
+    return MPOHamiltonian.from_dense_W(Ws).remove_orphans()
+
+
+def periodic_boundary_conditions_densempo(O, L: int):
+    """Ring trace of a DenseMPO as an open-chain DenseMPO (reference
+    toolbox.jl:309-341): the cut virtual index alpha rides along as a
+    spectator — middle tensors become block-diagonal copies
+    O'[(a,alpha),(b,alpha)] = O[a,b]; the first site emits alpha, the last
+    site closes it (trace over the ring)."""
+    import numpy as np
+    from ..operators.mpo import DenseMPO
+
+    Os = [np.asarray(O.site(i)) for i in range(L)]
+    w = Os[0].shape[0]
+    d = Os[0].shape[2]
+    first = np.zeros((1, w * w, d, d), Os[0].dtype)
+    for al in range(w):
+        for b in range(w):
+            first[0, b * w + al] = Os[0][al, b]
+    mids = []
+    for i in range(1, L - 1):
+        M = np.zeros((w * w, w * w, d, d), Os[i].dtype)
+        for al in range(w):
+            for a in range(w):
+                for b in range(w):
+                    M[a * w + al, b * w + al] = Os[i][a, b]
+        mids.append(M)
+    last = np.zeros((w * w, 1, d, d), Os[-1].dtype)
+    for al in range(w):
+        for a in range(w):
+            last[a * w + al, 0] = Os[L - 1][a, al]
+    import jax.numpy as jnp
+    return DenseMPO(tuple(jnp.asarray(x)
+                          for x in [first] + mids + [last]))
 
 
 # ----------------------------------------------------------------------------

@@ -5,4 +5,4 @@ from .hamiltonians import (
     heisenberg_XXZ,
     bilinear_biquadratic_model,
 )
-from .statmech import classical_ising, finite_classical_ising, sixvertex
+from .statmech import classical_ising, finite_classical_ising, sixvertex, hard_hexagon

@@ -80,3 +80,30 @@ def sixvertex(a: float = 1.0, b: float = 1.0, c: float = 1.0,
                   [0, b, c, 0],
                   [0, 0, 0, a]], dtype).reshape(2, 2, 2, 2)
     return DenseMPO.from_array(d.transpose(0, 2, 1, 3).astype(dtype))
+
+
+def hard_hexagon(z: float = None, dtype=np.float64) -> DenseMPO:
+    """Row transfer MPO of the hard-hexagon lattice gas (Baxter): particles
+    on the triangular lattice, no two adjacent, activity z per particle —
+    critical at z_c = (11 + 5 sqrt 5)/2 with central charge c = 4/5.
+
+    The reference realizes this with a FibonacciAnyon-symmetric MPO
+    (examples/classic2d/1.hard-hexagon/main.jl via MPSKitModels); here it
+    is the same model in the dense occupation (RSOS path) basis: the MPO
+    bond carries the previous column's (new-row, old-row) occupancies so
+    every triangular-lattice adjacency (vertical s_i t_i, horizontal
+    s_i s_{i-1}, diagonal s_i t_{i-1}) is excluded locally. The anyonic
+    fusion constraint of the reference and this path-basis constraint
+    describe the same partition function."""
+    if z is None:
+        z = (11 + 5 * np.sqrt(5)) / 2
+    O = np.zeros((4, 4, 2, 2), dtype)
+    for sp in (0, 1):
+        for tp in (0, 1):
+            a = 2 * sp + tp
+            for s in (0, 1):
+                for t in (0, 1):
+                    if s * t or s * sp or s * tp:
+                        continue
+                    O[a, 2 * s + t, s, t] = z ** s
+    return DenseMPO.from_array(O)

@@ -76,7 +76,7 @@ def assign_bond_charges(L: int, phys_charges: Sequence[int], D: int,
         bound = {q: min(fwd[i][q], bwd[i][q]) for q in live
                  if fwd[i][q] > 0 and bwd[i][q] > 0}
         if not bound:
-            charges.append(np.full(D, 10**6, int))
+            charges.append(np.full(D, 10**6 * (i + 1), int))
             continue
         if sum(bound.values()) <= cap:
             alloc = {q: int(b) for q, b in bound.items()}
@@ -102,7 +102,9 @@ def assign_bond_charges(L: int, phys_charges: Sequence[int], D: int,
                         grew = True
                 if not grew:
                     break
-        lab = np.full(D, 10**6, int)  # padding keeps an impossible charge
+        # bond-dependent pad value: a constant pad can accidentally satisfy
+        # pad + q_phys + aux == pad when the shifts cancel
+        lab = np.full(D, 10**6 * (i + 1), int)
         pos = 0
         for q in sorted(alloc, key=lambda q: -alloc[q]):
             n = alloc[q]
@@ -338,9 +340,12 @@ def find_groundstate_symmetric(spsi: SymmetricFiniteMPS, H, alg=None):
     for it in range(1, alg.maxiter + 1):
         inner_tol = updatetol(eps, it)
         with matmul_precision(psi.dtype):
+            # sector-constrained solves keep the corrective local pass:
+            # the masked H_eff has a large degenerate null space and the
+            # single-pass recurrence loses ~1e-6 of accuracy against ED
             ALs, ARs, AC, GRs, lam, eps, _diag = _dmrg_sweep(
                 ALs, ARs, AC, Ws, GRs, inner_tol, alg.krylovdim,
-                alg.eig_maxrestarts, masks=masks)
+                alg.eig_maxrestarts, masks=masks, reorth="local")
         eps = float(eps)
         if eps < alg.tol:
             break
