@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Defaults, VERBOSE_ITER
-from ..linalg.arnoldi import dominant_eigs
+from ..linalg.arnoldi import dominant_eigs, dominant_eigs_real
 from ..states.infinitemps import InfiniteMPS
 from ..states.multiline import MPSMultiline
 from ..states.gauging import regauge_ACC
@@ -50,27 +50,63 @@ class VOMPS:
 @partial(jax.jit, static_argnums=(2, 3, 4))
 def _boundary_vumps_iteration(psi: InfiniteMPS, Os, m: int, gauge_tol: float,
                               env_tol: float, inner_tol=1e-6,
-                              GL_guess=None, GR_guess=None):
+                              GL_guess=None, GR_guess=None,
+                              A_mask=None, C_mask=None, env_mask=None):
     L = psi.period
     O_mpo = DenseMPO(tuple(Os[i] for i in range(L)))
     envs = mpo_environments(psi, O_mpo, tol=env_tol, krylovdim=m,
-                            GL0=GL_guess, GR0=GR_guess)
+                            GL0=GL_guess, GR0=GR_guess, env_mask=env_mask,
+                            select_real=env_mask is not None)
     GL_next = jnp.roll(envs.GLs, -1, axis=0)
 
-    def solve_ac(GL, Oi, GR, AC):
-        res = dominant_eigs(lambda x: ac_apply(GL, Oi, GR, x), AC,
-                            m, 20, inner_tol)
-        return res.eigenvector
+    # sector masks (e.g. the Fibonacci path constraint, symmetry/fibonacci.py)
+    # constrain the Krylov space itself: a :LM solve can otherwise converge
+    # onto a spurious mixed-sector dominant vector that post-masking would
+    # destroy (unlike the :SR Hamiltonian case of symmetry/charges.py)
+    Am = None if A_mask is None else A_mask.astype(psi.dtype)
+    Cm = None if C_mask is None else C_mask.astype(psi.dtype)
 
-    def solve_c(GLn, GR, C):
-        res = dominant_eigs(lambda x: c_apply(GLn, GR, x), C,
-                            m, 20, inner_tol)
-        return res.eigenvector
+    if Am is None:
+        def solve_ac(GL, Oi, GR, AC):
+            res = dominant_eigs(lambda x: ac_apply(GL, Oi, GR, x), AC,
+                                m, 20, inner_tol)
+            return res.eigenvector
 
-    ACs = jax.vmap(solve_ac)(envs.GLs, Os, envs.GRs, psi.AC)
-    Cs = jax.vmap(solve_c)(GL_next, envs.GRs, psi.C)
+        def solve_c(GLn, GR, C):
+            res = dominant_eigs(lambda x: c_apply(GLn, GR, x), C,
+                                m, 20, inner_tol)
+            return res.eigenvector
+
+        ACs = jax.vmap(solve_ac)(envs.GLs, Os, envs.GRs, psi.AC)
+        Cs = jax.vmap(solve_c)(GL_next, envs.GRs, psi.C)
+    else:
+        # in the masked (anyonic) path the physical AC/C eigenpairs are
+        # real while spurious complex rotation modes can carry a larger
+        # magnitude — select the dominant real pair
+        _solver = dominant_eigs_real if env_mask is not None else dominant_eigs
+
+        def solve_ac(GL, Oi, GR, AC, Mi):
+            res = _solver(
+                lambda x: Mi * ac_apply(GL, Oi, GR, Mi * x), AC,
+                m, 20, inner_tol)
+            return res.eigenvector
+
+        def solve_c(GLn, GR, C, Mi):
+            res = _solver(
+                lambda x: Mi * c_apply(GLn, GR, Mi * x), C,
+                m, 20, inner_tol)
+            return res.eigenvector
+
+        ACs = jax.vmap(solve_ac)(envs.GLs, Os, envs.GRs, psi.AC, Am)
+        Cs = jax.vmap(solve_c)(GL_next, envs.GRs, psi.C, Cm)
+    if A_mask is not None:
+        ACs = ACs * A_mask.astype(ACs.dtype)
+    if C_mask is not None:
+        Cs = Cs * C_mask.astype(Cs.dtype)
 
     ALs = jax.vmap(regauge_ACC)(ACs, Cs)
+    if A_mask is not None:
+        ALs = ALs * A_mask.astype(ALs.dtype)
     ALC = jnp.einsum("ilpm,imr->ilpr", ALs, Cs)
     # remove the global phase per site before measuring convergence
     phase = jnp.einsum("ilpr,ilpr->i", ALC.conj(), ACs)
@@ -78,33 +114,64 @@ def _boundary_vumps_iteration(psi: InfiniteMPS, Os, m: int, gauge_tol: float,
     eps = jnp.max(jnp.linalg.norm(
         (ACs - phase[:, None, None, None] * ALC).reshape(L, -1), axis=1))
 
-    psi_new = InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol)
+    if A_mask is None:
+        psi_new = InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol)
+    else:
+        # masked path: build AR locally from (C_{i-1}, AC_i) instead of
+        # re-gauging through from_AL's fixed-point eigensolves — those
+        # rotate the bond basis within (near-degenerate) sectors, which
+        # fights the static masks at criticality
+        from ..states.gauging import regauge_CAC
+
+        C_prev = jnp.roll(Cs, 1, axis=0)
+        ARs = jax.vmap(regauge_CAC)(C_prev, ACs)
+        Am = A_mask.astype(ACs.dtype)
+        Cm = C_mask.astype(Cs.dtype)
+        psi_new = InfiniteMPS(ALs * Am, ARs * Am, ACs * Am, Cs * Cm)
     return psi_new, eps, envs.GLs[0], envs.GRs[L - 1]
 
 
 @partial(jax.jit, static_argnums=(2, 3))
 def _boundary_vomps_iteration(psi: InfiniteMPS, Os, gauge_tol: float,
-                              env_tol: float):
+                              env_tol: float, GL_guess=None, GR_guess=None,
+                              A_mask=None, C_mask=None, env_mask=None):
     """One power-method step: single MPO application instead of an
-    eigensolve."""
+    eigensolve. Optional sector masks as in _boundary_vumps_iteration."""
     L = psi.period
     O_mpo = DenseMPO(tuple(Os[i] for i in range(L)))
-    envs = mpo_environments(psi, O_mpo, tol=env_tol)
+    envs = mpo_environments(psi, O_mpo, tol=env_tol,
+                            GL0=GL_guess, GR0=GR_guess, env_mask=env_mask,
+                            select_real=env_mask is not None)
     GL_next = jnp.roll(envs.GLs, -1, axis=0)
 
     ACs = jax.vmap(ac_apply)(envs.GLs, Os, envs.GRs, psi.AC)
     Cs = jax.vmap(c_apply)(GL_next, envs.GRs, psi.C)
+    if A_mask is not None:
+        ACs = ACs * A_mask.astype(ACs.dtype)
+    if C_mask is not None:
+        Cs = Cs * C_mask.astype(Cs.dtype)
     ACs = ACs / jnp.linalg.norm(ACs.reshape(L, -1), axis=1)[:, None, None, None]
     Cs = Cs / jnp.linalg.norm(Cs.reshape(L, -1), axis=1)[:, None, None]
 
     ALs = jax.vmap(regauge_ACC)(ACs, Cs)
+    if A_mask is not None:
+        ALs = ALs * A_mask.astype(ALs.dtype)
     ALC = jnp.einsum("ilpm,imr->ilpr", ALs, Cs)
     phase = jnp.einsum("ilpr,ilpr->i", ALC.conj(), ACs)
     phase = phase / jnp.maximum(jnp.abs(phase), 1e-30)
     eps = jnp.max(jnp.linalg.norm(
         (ACs - phase[:, None, None, None] * ALC).reshape(L, -1), axis=1))
-    psi_new = InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol)
-    return psi_new, eps
+    if A_mask is None:
+        psi_new = InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol)
+    else:
+        from ..states.gauging import regauge_CAC
+
+        C_prev = jnp.roll(Cs, 1, axis=0)
+        ARs = jax.vmap(regauge_CAC)(C_prev, ACs)
+        Am = A_mask.astype(ACs.dtype)
+        Cm = C_mask.astype(Cs.dtype)
+        psi_new = InfiniteMPS(ALs * Am, ARs * Am, ACs * Am, Cs * Cm)
+    return psi_new, eps, envs.GLs[0], envs.GRs[L - 1]
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -219,8 +286,8 @@ def leading_boundary(psi, O, alg=None):
     GLg = GRg = None
     for it in range(1, alg.maxiter + 1):
         if isinstance(alg, VOMPS):
-            psi, eps = _boundary_vomps_iteration(
-                psi, Os, alg.gauge_tol, 1e-12)
+            psi, eps, GLg, GRg = _boundary_vomps_iteration(
+                psi, Os, alg.gauge_tol, 1e-12, GL_guess=GLg, GR_guess=GRg)
         else:
             inner_tol = updatetol(eps, it)
             # previous-iteration fixed points seed the env eigensolves

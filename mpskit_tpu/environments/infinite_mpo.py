@@ -17,7 +17,7 @@ import jax.numpy as jnp
 from ..states.infinitemps import InfiniteMPS
 from ..operators.mpo import DenseMPO
 from ..transfermatrix.transfer import transfer_left_mpo, transfer_right_mpo
-from ..linalg.arnoldi import dominant_eigs
+from ..linalg.arnoldi import dominant_eigs, dominant_eigs_real
 
 
 @jax.tree_util.register_pytree_node_class
@@ -51,32 +51,51 @@ def _stack_O(O: DenseMPO, L: int, dtype):
 def mpo_environments(psi_ket: InfiniteMPS, O: DenseMPO,
                      psi_bra: InfiniteMPS = None,
                      GL0=None, GR0=None, tol=1e-12,
-                     krylovdim: int = 30) -> InfiniteMPOEnv:
+                     krylovdim: int = 30, env_mask=None,
+                     select_real: bool = False) -> InfiniteMPOEnv:
     """Mixed dominant fixed points of the channel transfer operator
-    (reference permpoinfenv.jl:138-189). psi_bra defaults to psi_ket."""
+    (reference permpoinfenv.jl:138-189). psi_bra defaults to psi_ket.
+
+    env_mask ((w, D, D) boolean, optional): static sector structure of the
+    environments (mpo-bond, bra, ket) — e.g. the Fibonacci height-pair
+    alignment of symmetry/fibonacci.py. The Arnoldi iteration is confined
+    to the masked subspace so a near-degenerate sector rotation cannot
+    replace the aligned fixed point.
+
+    select_real: target the dominant (near-)real transfer eigenpair instead
+    of the raw largest-magnitude one — required when spurious complex
+    rotation modes sit above the physical fixed point (see
+    linalg/arnoldi.dominant_eigs_real)."""
     if psi_bra is None:
         psi_bra = psi_ket
     L, D = psi_ket.period, psi_ket.D
     dtype = psi_ket.dtype
     Os = _stack_O(O, L, dtype)
     w = Os.shape[1]
+    M = None if env_mask is None else env_mask.astype(dtype)
 
     def mv_left(v):
+        if M is not None:
+            v = v * M
+
         def body(v, xs):
             Oi, Ak, Ab = xs
             return transfer_left_mpo(v, Oi, Ak, Ab), None
 
         v, _ = jax.lax.scan(body, v, (Os, psi_ket.AL, psi_bra.AL))
-        return v
+        return v if M is None else v * M
 
     def mv_right(v):
+        if M is not None:
+            v = v * M
+
         def body(v, xs):
             Oi, Ak, Ab = xs
             return transfer_right_mpo(v, Oi, Ak, Ab), None
 
         v, _ = jax.lax.scan(body, v, (Os, psi_ket.AR, psi_bra.AR),
                             reverse=True)
-        return v
+        return v if M is None else v * M
 
     if GL0 is None:
         GL0 = jnp.ones((w, D, D), dtype) + \
@@ -84,9 +103,13 @@ def mpo_environments(psi_ket: InfiniteMPS, O: DenseMPO,
     if GR0 is None:
         GR0 = jnp.ones((w, D, D), dtype) + \
             jnp.eye(D, dtype=dtype)[None]
+    if M is not None:
+        GL0 = GL0 * M
+        GR0 = GR0 * M
 
-    resL = dominant_eigs(mv_left, GL0, krylovdim, 100, tol)
-    resR = dominant_eigs(mv_right, GR0, krylovdim, 100, tol)
+    solver = dominant_eigs_real if select_real else dominant_eigs
+    resL = solver(mv_left, GL0, krylovdim, 100, tol)
+    resR = solver(mv_right, GR0, krylovdim, 100, tol)
     lam = resL.eigenvalue
 
     # fill per-site envs by stepping through the cell, dividing out the

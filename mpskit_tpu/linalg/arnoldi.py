@@ -146,3 +146,87 @@ def spectrum_arnoldi(matvec: Callable, v0, m: int = 30, nev: int = 5):
     w = hessenberg_spectrum(Hm)
     # eigenvalues beyond the valid block are exactly 0 and sort last
     return w[:nev], nvalid
+
+
+# ----------------------------------------------------------------------------
+# dominant REAL eigenpair — for transfer operators whose largest-magnitude
+# modes form complex conjugate pairs that do not correspond to the physical
+# fixed point (e.g. the omega-rotation modes of the critical hard-hexagon
+# boundary, see symmetry/fibonacci.py: the effective AC/C operators carry a
+# spurious e^{+-2pi i/3} pair slightly ABOVE the real physical eigenvalue;
+# :LM Arnoldi in real arithmetic wanders inside that pair and never
+# converges). Selection needs actual spectral data of the small Hessenberg
+# block, so the m-by-m Rayleigh-Ritz runs on the host (LAPACK) — the same
+# pattern as hessenberg_spectrum, acceptable because the masked statmech
+# path is the only consumer.
+# ----------------------------------------------------------------------------
+
+def _host_eig_real_select(Hm, nvalid):
+    m = Hm.shape[0]
+    n = max(int(nvalid), 1)
+    H = np.asarray(Hm)[:n, :n]
+    w, V = np.linalg.eig(H)
+    realish = np.abs(w.imag) <= 1e-3 * np.maximum(np.abs(w), 1e-300)
+    if realish.any():
+        # among (near-)real Ritz values, weight magnitude by overlap with
+        # the restart vector (= Krylov basis vector 0): near convergence
+        # this tracks the physical fixed point even when other real modes
+        # transiently carry a larger magnitude
+        overlap = np.abs(V[0, :])
+        cand = np.where(realish, np.abs(w) * (0.1 + overlap), -1.0)
+        idx = int(np.argmax(cand))
+    else:  # fallback: plain :LM
+        idx = int(np.argmax(np.abs(w)))
+    z = V[:, idx]
+    # phase-fix so the vector is real for a real eigenvalue of a real block
+    k = int(np.argmax(np.abs(z)))
+    z = z * (np.abs(z[k]) / z[k] if z[k] != 0 else 1.0)
+    out = np.zeros(m, np.complex128)
+    out[:n] = z
+    return np.complex128(w[idx]), out
+
+
+def dominant_eigs_real(matvec: Callable, v0, m: int = 30,
+                       maxrestarts: int = 100, tol=1e-12) -> EigsResult:
+    """Largest-magnitude (near-)REAL eigenpair of a general operator.
+    Restarted Arnoldi with host Rayleigh-Ritz selection; falls back to the
+    plain dominant pair when no real Ritz value exists."""
+
+    cdt = basis_inner_all(basis_zeros(v0, 1), v0).dtype
+
+    def small_select(Hm, nvalid):
+        shapes = (jax.ShapeDtypeStruct((), jnp.complex128),
+                  jax.ShapeDtypeStruct((m,), jnp.complex128))
+        theta, z = jax.pure_callback(
+            _host_eig_real_select, shapes, Hm.astype(jnp.complex128), nvalid,
+            vmap_method="sequential")
+        return theta, z.astype(cdt)
+
+    def restart(state):
+        v, _, _, it = state
+        V, H, nvalid = arnoldi_factorize(matvec, v, m)
+        theta, z = small_select(H[:m, :m], nvalid)
+        x = basis_combine(V, jnp.pad(z, (0, 1)))
+        xn = tree_norm(x)
+        x = tree_scale(1.0 / jnp.maximum(xn, _BREAKDOWN), x)
+        last = jnp.clip(nvalid - 1, 0, m - 1)
+        resid = jnp.where(
+            nvalid < m,
+            jnp.zeros((), jnp.abs(theta).dtype),
+            jnp.abs(H[last + 1, last] * z[last])
+            / jnp.maximum(jnp.abs(theta), _BREAKDOWN),
+        )
+        theta = theta.astype(cdt) if jnp.issubdtype(cdt, jnp.complexfloating) \
+            else jnp.real(theta).astype(cdt)
+        return x, theta, resid.astype(jnp.zeros((), cdt).real.dtype), it + 1
+
+    def cond(state):
+        _, _, resid, it = state
+        return jnp.logical_and(it < maxrestarts,
+                               jnp.logical_or(it < 1, resid > tol))
+
+    rdt = jnp.zeros((), cdt).real.dtype
+    init = (v0, jnp.zeros((), cdt), jnp.array(jnp.inf, rdt),
+            jnp.zeros((), jnp.int32))
+    x, theta, resid, it = jax.lax.while_loop(cond, restart, init)
+    return EigsResult(theta, x, resid, it, resid <= tol)

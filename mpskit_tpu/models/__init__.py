@@ -5,4 +5,5 @@ from .hamiltonians import (
     heisenberg_XXZ,
     bilinear_biquadratic_model,
 )
-from .statmech import classical_ising, finite_classical_ising, sixvertex, hard_hexagon
+from .statmech import (classical_ising, finite_classical_ising, sixvertex,
+                       hard_hexagon, hard_hexagon_fibonacci)

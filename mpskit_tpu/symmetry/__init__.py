@@ -4,3 +4,9 @@ from .charges import (
     SymmetricFiniteMPS,
     sector_entanglement_spectrum,
 )
+from .fibonacci import (
+    FibonacciInfiniteMPS,
+    leading_boundary_fibonacci,
+    anyonic_entropy,
+    fibonacci_bond_labels,
+)
