@@ -7,11 +7,14 @@ Each line is {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline compares against a 64-core CPU reference derived from a
 MEASURED single-core CPU run of the exact same code (XLA CPU backend,
-float64: 278 s/sweep for the DMRG sweep, 99.4 s/iter for the VUMPS
-iteration on this machine) scaled by an idealized 64x: the reference
+float64, w=3 lattice TFIM: 228.1 s/sweep for the DMRG sweep, 7.79 s/iter
+for the VUMPS iteration on this machine — scripts/bench_cpu_ref.py,
+re-measured round 2 after the warm-start/local-reorth speedups also
+accelerated the CPU path) scaled by an idealized 64x: the reference
 library publishes no numbers (see BASELINE.md), so perfect CPU scaling is
-assumed — a conservative (reference-favoring) baseline. vs_baseline > 1
-means faster.
+assumed — a strongly reference-favoring baseline (a Krylov-dominated
+D=256 iteration does not actually scale 64x). vs_baseline > 1 means
+faster.
 """
 
 import json
@@ -31,22 +34,22 @@ KRYLOVDIM = 10  # Lanczos dimension per site solve
 RESTARTS = 2
 DTYPE = jnp.float32  # MXU path; float64 available for 1e-8 parity runs
 
-CPU_REFERENCE_SWEEP_S = 278.13 / 64  # measured 1-core / idealized 64x scaling
-CPU_REFERENCE_VUMPS_S = 99.41 / 64   # measured 1-core VUMPS iter, D=256 f64
+CPU_REFERENCE_SWEEP_S = 228.07 / 64  # measured 1-core / idealized 64x scaling
+CPU_REFERENCE_VUMPS_S = 7.789 / 64   # measured 1-core VUMPS iter, D=256 f64
 D_VUMPS = 256
 
 
 def bench_vumps():
     """Steady-state VUMPS iteration (warm-started environments) on the
     infinite TFIM at D=256 — the second BASELINE.md metric."""
-    from mpskit_tpu.models import transverse_field_ising
+    from mpskit_tpu.models.hamiltonians import transverse_field_ising_lattice
     from mpskit_tpu.states import InfiniteMPS
     from mpskit_tpu.algorithms.vumps import _vumps_iteration
     from mpskit_tpu.config import matmul_precision
     import numpy as np
 
     dtype = DTYPE
-    H = transverse_field_ising(g=G, dtype=np.float64)
+    H = transverse_field_ising_lattice(g=G, dtype=np.float64)  # w=3 minimal FSM
     psi = InfiniteMPS.random(jax.random.PRNGKey(0), 1, 2, D_VUMPS,
                              dtype=dtype)
     tol = jnp.asarray(1e-6, jnp.float32)
@@ -73,7 +76,7 @@ def bench_vumps():
 
 
 def main():
-    from mpskit_tpu.models import transverse_field_ising
+    from mpskit_tpu.models.hamiltonians import transverse_field_ising_lattice
     from mpskit_tpu.states import FiniteMPS
     from mpskit_tpu.algorithms.dmrg import _dmrg_sweep
     from mpskit_tpu.environments.finite import (
@@ -84,7 +87,7 @@ def main():
     from mpskit_tpu.states.finitemps import support_mask
 
     dtype = DTYPE
-    H = transverse_field_ising(g=G, dtype=np.float64)
+    H = transverse_field_ising_lattice(g=G, dtype=np.float64)  # w=3 minimal FSM
     psi = FiniteMPS.random(jax.random.PRNGKey(0), L, d, D, dtype=dtype)
     Ws = stack_W(H, L).astype(dtype)
     w = Ws.shape[1]

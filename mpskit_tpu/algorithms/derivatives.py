@@ -9,6 +9,7 @@ them to MXU matmuls of cost O(w d D^3).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -19,10 +20,31 @@ def ac_apply(GL, W, GR, x):
     return jnp.einsum("bxsn,brn->xsr", t, GR)        # w d D^3
 
 
+def ac_apply_fast(GL, W, GR, x):
+    """One-pass-bf16 ac_apply for INEXACT Krylov stages: on TPU,
+    precision=DEFAULT lowers f32 matmuls to a single bf16 MXU pass (~3x the
+    X3 throughput, ~2e-3 relative error). Used for all but the final
+    restart of the hot site solves (linalg/lanczos.eigsh_smallest
+    matvec_fast) — the polishing restart recomputes the Ritz pair with the
+    accurate matvec, so converged energies keep X3 quality. On CPU / f64
+    DEFAULT and HIGHEST coincide and this is identical to ac_apply."""
+    P = jax.lax.Precision.DEFAULT
+    t = jnp.einsum("axy,ytn->axtn", GL, x, precision=P)
+    t = jnp.einsum("axtn,abst->bxsn", t, W, precision=P)
+    return jnp.einsum("bxsn,brn->xsr", t, GR, precision=P)
+
+
 def c_apply(GL, GR, x):
     """H_eff^{C}(x)[l, r] = GL[a,l,y] x[y,n] GR[a,r,n]."""
     t = jnp.einsum("axy,yn->axn", GL, x)
     return jnp.einsum("axn,arn->xr", t, GR)
+
+
+def c_apply_fast(GL, GR, x):
+    """One-pass-bf16 c_apply (see ac_apply_fast)."""
+    P = jax.lax.Precision.DEFAULT
+    t = jnp.einsum("axy,yn->axn", GL, x, precision=P)
+    return jnp.einsum("axn,arn->xr", t, GR, precision=P)
 
 
 def ac2_apply(GL, W1, W2, GR, x):

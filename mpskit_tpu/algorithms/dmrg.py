@@ -27,7 +27,7 @@ from ..environments.finite import (
 )
 from ..utils.logging import IterLog
 from ..utils.dynamictols import updatetol
-from .derivatives import ac_apply
+from .derivatives import ac_apply, ac_apply_fast
 
 
 @dataclasses.dataclass(frozen=True)
@@ -113,7 +113,8 @@ def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
         W, AR_next, GR_next, mk, bk = xs
         res = eigsh_smallest(
             lambda x: ac_apply(GL, W, GR_next, x), AC, m, restarts, inner_tol,
-            reorth=reorth)
+            reorth=reorth,
+            matvec_fast=lambda x: ac_apply_fast(GL, W, GR_next, x))
         ACp = res.eigenvector * mk
         ACp = ACp / jnp.maximum(jnp.linalg.norm(ACp), 1e-30)
         AL, C = leftorth_hybrid(ACp, bk)
@@ -137,7 +138,8 @@ def _dmrg_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
         W, AL_prev, GL_i, mk, bk = xs
         res = eigsh_smallest(
             lambda x: ac_apply(GL_i, W, GR, x), AC, m, restarts, inner_tol,
-            reorth=reorth)
+            reorth=reorth,
+            matvec_fast=lambda x: ac_apply_fast(GL_i, W, GR, x))
         ACp = res.eigenvector * mk
         ACp = ACp / jnp.maximum(jnp.linalg.norm(ACp), 1e-30)
         C, AR = rightorth_hybrid(ACp, bk)
@@ -204,7 +206,7 @@ def find_groundstate_dmrg(psi: FiniteMPS, H, alg: DMRG = DMRG()):
 
     L, D = psi.length, psi.D
     psi = psi.move_center(0)
-    Ws = stack_W(H, L)
+    Ws = stack_W(H, L).astype(psi.dtype)
     w = Ws.shape[1]
     GRs = compute_right_envs(psi.ARs, Ws, right_boundary(w, D, psi.dtype))
     masks = jnp.asarray(support_mask(L, psi.physicaldim, D))

@@ -266,6 +266,12 @@ def hamiltonian_environments(psi: InfiniteMPS, H: MPOHamiltonian,
     the same reason, mpohaminfenv.jl recalculate!)."""
     GL0 = None if env_init is None else env_init.GLs
     GR0 = None if env_init is None else env_init.GRs
+    # dtype-aware tolerance floor: a float32 GMRES cannot reach 1e-8
+    # relative residuals, and an unreachable tolerance makes every
+    # geometric-series solve burn its full restart budget (measured: the
+    # two env solves were ~90% of a D=256 f32 VUMPS iteration on v5e)
+    rdt = jnp.zeros((), psi.dtype).real.dtype
+    tol = jnp.maximum(jnp.asarray(tol, rdt), 10 * jnp.finfo(rdt).eps)
     GLs, eL, rL = calc_lw(psi, H, tol, GL_init=GL0)
     GRs, eR, rR = calc_rw(psi, H, tol, GR_init=GR0)
     e = jnp.real(eL) / psi.period

@@ -149,16 +149,30 @@ class EigshResult(NamedTuple):
     converged: jnp.ndarray
 
 
-@partial(jax.jit, static_argnums=(0, 2, 3, 5))
+@partial(jax.jit, static_argnums=(0, 2, 3, 5, 6))
 def eigsh_smallest(matvec: Callable, v0, m: int = 30, maxrestarts: int = 100,
-                   tol=1e-12, reorth: str = "full") -> EigshResult:
+                   tol=1e-12, reorth: str = "full",
+                   matvec_fast: Callable = None) -> EigshResult:
     """Smallest-real eigenpair of a Hermitian operator via restarted Lanczos.
 
     reorth: "full" = two-pass CGS against the whole basis each step (robust
     default); "local" = 3-term recurrence touching only the previous two
     vectors (the fast path for the restarted hot-loop site solves, see
     `lanczos_factorize_local`); "local1" = same without the corrective
-    second pass (textbook Lanczos; cheapest, adequate with warm restarts)."""
+    second pass (textbook Lanczos; cheapest, adequate with warm restarts).
+
+    matvec_fast: optional cheap (inexact) matvec — e.g. one-pass-bf16 on
+    TPU (derivatives.ac_apply_fast). One accurate matvec first probes the
+    start vector: if its Ritz residual already meets tol the solve returns
+    immediately; if it is far from convergence (relative residual above the
+    bf16 noise floor margin) the FIRST restart builds its Krylov space with
+    matvec_fast and an accurate restart polishes; otherwise all restarts
+    run accurate. Without the guard the inexact pass DEGRADES warm starts:
+    restarting a nearly-converged vector through a bf16 Krylov space floors
+    the residual at the noise level (measured 5e-3 at D=32 f32) and the
+    polish restart cannot fully recover."""
+    if maxrestarts < 2:
+        matvec_fast = None  # no room for an accurate polish pass
     if reorth == "local":
         factorize = lanczos_factorize_local
     elif reorth == "local1":
@@ -166,9 +180,27 @@ def eigsh_smallest(matvec: Callable, v0, m: int = 30, maxrestarts: int = 100,
     else:
         factorize = lanczos_factorize
 
+    use_fast = None
+    if matvec_fast is not None:
+        # quality probe: one accurate matvec on the (normalized) start
+        n0 = tree_norm(v0)
+        vq = tree_scale(1.0 / jnp.maximum(n0, _BREAKDOWN), v0)
+        w0 = matvec(vq)
+        lam0 = jnp.real(tree_inner(vq, w0))
+        resid0 = tree_norm(tree_add(w0, vq, alpha=-lam0))
+        # engage the inexact pass only well above the bf16 noise floor
+        use_fast = resid0 > 3e-2 * jnp.maximum(jnp.abs(lam0), 1e-30)
+
     def restart(state):
         v, _, _, it, _ = state
-        V, alpha, beta, nvalid = factorize(matvec, v, m)
+        if matvec_fast is None:
+            V, alpha, beta, nvalid = factorize(matvec, v, m)
+        else:
+            V, alpha, beta, nvalid = jax.lax.cond(
+                jnp.logical_and(it == 0, use_fast),
+                lambda vv: factorize(matvec_fast, vv, m),
+                lambda vv: factorize(matvec, vv, m),
+                v)
         T = _tridiag(alpha, beta, nvalid, _sentinel(alpha.dtype))
         evals, evecs = jnp.linalg.eigh(T)
         s = evecs[:, 0]
@@ -181,14 +213,25 @@ def eigsh_smallest(matvec: Callable, v0, m: int = 30, maxrestarts: int = 100,
         resid = jnp.where(nvalid < m, 0.0, jnp.abs(beta[last] * s[last]))
         return x, lam.astype(alpha.dtype), resid.astype(alpha.dtype), it + 1, nvalid
 
+    rdt = jnp.zeros((), jax.tree_util.tree_leaves(v0)[0].dtype).real.dtype
+    if matvec_fast is None:
+        min_restarts = jnp.ones((), jnp.int32)
+        init = (v0, jnp.zeros((), rdt), jnp.array(jnp.inf, rdt),
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    else:
+        # the probe already measured the start vector: exit with zero
+        # restarts when converged; one fast + one accurate when far;
+        # accurate-only otherwise
+        min_restarts = jnp.where(resid0 <= tol, 0,
+                                 jnp.where(use_fast, 2, 1)).astype(jnp.int32)
+        init = (vq, lam0.astype(rdt), resid0.astype(rdt),
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+
     def cond(state):
         _, _, resid, it, _ = state
         return jnp.logical_and(it < maxrestarts,
-                               jnp.logical_or(it < 1, resid > tol))
+                               jnp.logical_or(it < min_restarts, resid > tol))
 
-    rdt = jnp.zeros((), jax.tree_util.tree_leaves(v0)[0].dtype).real.dtype
-    init = (v0, jnp.zeros((), rdt), jnp.array(jnp.inf, rdt),
-            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
     x, lam, resid, it, _ = jax.lax.while_loop(cond, restart, init)
     return EigshResult(lam, x, resid, it, resid <= tol)
 
