@@ -352,6 +352,21 @@ class MPOHamiltonian:
         aux = tuple(charges[i % Lc] for i in range(period))
         return dataclasses.replace(out, aux_charges=aux)
 
+    def to_densempo(self, L: int, tol: float = 1e-12) -> "DenseMPO":
+        """Finite-chain conversion MPOHamiltonian -> DenseMPO with SVD bond
+        compression — the counterpart of the reference's
+        `convert(DenseMPO, SparseMPO)` (sparsempo.jl:282-308): the FSM is
+        embedded densely (boundary vectors absorbed into the edge tensors)
+        and every virtual bond is truncated below `tol`, which strips the
+        FSM's zero blocks and shrinks the ragged edge bonds (w grows
+        1, ..., w, ..., 1 near open boundaries)."""
+        W = np.asarray(self.W)
+        w, d = self.odim, self.physicaldim
+        data = [np.array(W[i % self.period]) for i in range(L)]
+        data[0] = data[0][:1]          # left boundary selects level 0
+        data[-1] = data[-1][:, -1:]    # right boundary selects level w-1
+        return DenseMPO(tuple(jnp.asarray(o) for o in data)).compress(tol)
+
     # -- dense matrix (test oracle) ---------------------------------------
     def to_matrix(self, L: int) -> np.ndarray:
         """Full 2^L-by-2^L (d^L) Hamiltonian matrix for exact

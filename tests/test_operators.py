@@ -129,3 +129,54 @@ def test_lazysum_multiple_environments():
     # warm-started recalculate reuses the same structure
     menvs_i2 = lazysum_environments(ipsi, Hsum, t=t + 0.1, prev=menvs_i)
     assert len(menvs_i2.envs) == 2
+
+
+def test_to_densempo_compression():
+    """MPOHamiltonian -> DenseMPO conversion with SVD bond compression
+    (reference convert(DenseMPO, SparseMPO), sparsempo.jl:282-308): the
+    dense matrix is preserved exactly and the edge bonds shrink to the
+    exact FSM ranks."""
+    from mpskit_tpu.models import transverse_field_ising
+
+    L = 6
+    H = transverse_field_ising(g=1.3, dtype=np.float64)
+    D = H.to_densempo(L)
+    # exact operator parity via the dense matrix
+    M_h = np.real(H.to_matrix(L))
+    Ms = [np.asarray(o) for o in D.Os]
+    # contract the MPO chain into a dense matrix
+    acc = Ms[0]
+    for o in Ms[1:]:
+        a, b, s, t = acc.shape[0], acc.shape[1], acc.shape[2], acc.shape[3]
+        acc = np.einsum("abst,bcuv->acsutv", acc, o).reshape(
+            a, o.shape[1], s * o.shape[2], t * o.shape[3])
+    assert acc.shape[0] == 1 and acc.shape[1] == 1
+    np.testing.assert_allclose(acc[0, 0], M_h, atol=1e-10)
+    # ragged edge ranks: 1 at the boundary, growing toward the bulk w
+    rights = [o.shape[1] for o in Ms]
+    assert rights[-1] == 1 and rights[0] < H.odim
+    assert max(rights) <= H.odim
+
+
+def test_densempo_compress_idempotent_and_products():
+    """compress() preserves the operator for MPO products (an evolution-
+    MPO-shaped case: bond dim w^2 -> compressed)."""
+    from mpskit_tpu.models import transverse_field_ising
+
+    L = 5
+    H = transverse_field_ising(g=0.7, dtype=np.float64)
+    D = H.to_densempo(L)
+    P = D @ D   # H^2 as a dense MPO, bond dims squared
+    Pc = P.compress(1e-12)
+    # operator parity of H^2
+    def todense(Ms):
+        acc = np.asarray(Ms[0])
+        for o in Ms[1:]:
+            o = np.asarray(o)
+            a, b, s, t = acc.shape
+            acc = np.einsum("abst,bcuv->acsutv", acc, o).reshape(
+                a, o.shape[1], s * o.shape[2], t * o.shape[3])
+        return acc[0, 0]
+    M2 = np.real(H.to_matrix(L)) @ np.real(H.to_matrix(L))
+    np.testing.assert_allclose(todense(Pc.Os), M2, atol=1e-8)
+    assert max(o.shape[1] for o in Pc.Os) < max(o.shape[1] for o in P.Os)
