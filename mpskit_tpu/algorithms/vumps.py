@@ -132,5 +132,11 @@ def find_groundstate_vumps(psi: InfiniteMPS, H, alg: VUMPS = VUMPS()):
     else:
         log.cancel(it, 0.0, eps)
 
+    # iterations regauge locally (fast, but AL C = C AR only holds to eps);
+    # re-canonicalize ONCE so the returned state is an exactly consistent
+    # mixed-gauge triple for downstream consumers (QP gauge conversions,
+    # transfer fixed points)
+    psi = InfiniteMPS.from_AL(psi.AL, psi.C[psi.period - 1],
+                              tol=alg.gauge_tol)
     envs = hamiltonian_environments(psi, H, env_init=env_guess)
     return psi, envs, eps

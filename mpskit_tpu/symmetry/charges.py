@@ -311,6 +311,14 @@ def find_groundstate_symmetric_infinite(spsi: SymmetricInfiniteMPS, H,
         eps = float(eps)
         if eps < alg.tol:
             break
+    # final re-canonicalization (iterations regauge locally) + re-mask
+    from ..states.infinitemps import InfiniteMPS
+
+    psi = InfiniteMPS.from_AL(psi.AL, psi.C[psi.period - 1],
+                              tol=alg.gauge_tol)
+    Am = A_mask.astype(psi.AL.dtype)
+    Cm = C_mask.astype(psi.C.dtype)
+    psi = InfiniteMPS(psi.AL * Am, psi.AR * Am, psi.AC * Am, psi.C * Cm)
     envs = hamiltonian_environments(psi, H, env_init=env_guess)
     return dataclasses.replace(spsi, state=psi), envs, eps
 
