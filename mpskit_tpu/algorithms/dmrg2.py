@@ -105,7 +105,7 @@ def _dmrg2_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
 def find_groundstate_dmrg2(psi: FiniteMPS, H, alg: DMRG2 = DMRG2()):
     L, D = psi.length, psi.D
     psi = psi.move_center(0)
-    Ws = stack_W(H, L)
+    Ws = stack_W(H, L).astype(psi.dtype)
     w = Ws.shape[1]
     GRs = compute_right_envs(psi.ARs, Ws, right_boundary(w, D, psi.dtype))
 

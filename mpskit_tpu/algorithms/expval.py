@@ -28,7 +28,7 @@ def _expval_finite_mpoham(psi: FiniteMPS, H: MPOHamiltonian, envs=None):
     if envs is None:
         envs = finite_environments(psi, H)
     c = psi.center
-    W = stack_W(H, psi.length)[c]
+    W = stack_W(H, psi.length)[c].astype(psi.AC.dtype)
     num = jnp.vdot(psi.AC, ac_apply(envs.leftenv(c), W, envs.rightenv(c), psi.AC))
     den = jnp.vdot(psi.AC, psi.AC)
     return jnp.real(num / den)

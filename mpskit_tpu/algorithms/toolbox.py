@@ -55,7 +55,7 @@ def calc_galerkin(psi, H, envs=None):
         if envs is None:
             envs = finite_environments(psi, H)
         c = psi.center
-        W = stack_W(H, psi.length)[c]
+        W = stack_W(H, psi.length)[c].astype(psi.AC.dtype)
         y = ac_apply(envs.leftenv(c), W, envs.rightenv(c), psi.AC)
         AL, _ = leftorth(psi.AC)
         z = jnp.einsum("lpm,lpr->mr", AL.conj(), y)

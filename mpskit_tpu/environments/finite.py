@@ -95,7 +95,7 @@ def stack_W(H, L: int) -> jnp.ndarray:
 def finite_environments(psi, H) -> FiniteEnv:
     """Environments of <psi| H |psi> for a FiniteMPS in mixed gauge."""
     L, D = psi.length, psi.D
-    Ws = stack_W(H, L)
+    Ws = stack_W(H, L).astype(psi.dtype)
     w = Ws.shape[1]
     c = psi.center
     # gauged tensor stack: AL for < c, AC at c, AR for > c. For the env
