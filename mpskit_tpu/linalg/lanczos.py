@@ -192,7 +192,7 @@ def eigsh_smallest(matvec: Callable, v0, m: int = 30, maxrestarts: int = 100,
         use_fast = resid0 > 3e-2 * jnp.maximum(jnp.abs(lam0), 1e-30)
 
     def restart(state):
-        v, _, _, it, _ = state
+        v, _, prev_resid, it, _, _ = state
         if matvec_fast is None:
             V, alpha, beta, nvalid = factorize(matvec, v, m)
         else:
@@ -211,13 +211,21 @@ def eigsh_smallest(matvec: Callable, v0, m: int = 30, maxrestarts: int = 100,
         # residual bound: beta_last * |s_last| on the valid block
         last = jnp.clip(nvalid - 1, 0, m - 1)
         resid = jnp.where(nvalid < m, 0.0, jnp.abs(beta[last] * s[last]))
-        return x, lam.astype(alpha.dtype), resid.astype(alpha.dtype), it + 1, nvalid
+        return (x, lam.astype(alpha.dtype), resid.astype(alpha.dtype),
+                it + 1, nvalid, prev_resid)
 
     rdt = jnp.zeros((), jax.tree_util.tree_leaves(v0)[0].dtype).real.dtype
     if matvec_fast is None:
         min_restarts = jnp.ones((), jnp.int32)
         init = (v0, jnp.zeros((), rdt), jnp.array(jnp.inf, rdt),
-                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                jnp.array(jnp.inf, rdt))
+
+        def cond(state):
+            _, _, resid, it, _, _ = state
+            return jnp.logical_and(
+                it < maxrestarts,
+                jnp.logical_or(it < min_restarts, resid > tol))
     else:
         # the probe already measured the start vector: exit with zero
         # restarts when converged; one fast + one accurate when far;
@@ -225,14 +233,27 @@ def eigsh_smallest(matvec: Callable, v0, m: int = 30, maxrestarts: int = 100,
         min_restarts = jnp.where(resid0 <= tol, 0,
                                  jnp.where(use_fast, 2, 1)).astype(jnp.int32)
         init = (vq, lam0.astype(rdt), resid0.astype(rdt),
-                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+                jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+                jnp.array(jnp.inf, rdt))
 
-    def cond(state):
-        _, _, resid, it, _ = state
-        return jnp.logical_and(it < maxrestarts,
-                               jnp.logical_or(it < min_restarts, resid > tol))
+        def cond(state):
+            # stagnation exit: once past the mandated restarts, stop when a
+            # restart no longer halves the residual (it has hit the dtype
+            # floor; further restarts only repeat the cost) — at a converged
+            # warm start this makes the solve 1 probe matvec + 1 restart
+            _, _, resid, it, _, prev_resid = state
+            improving = resid < 0.5 * prev_resid
+            return jnp.logical_and(
+                it < maxrestarts,
+                jnp.logical_or(it < min_restarts,
+                               jnp.logical_and(resid > tol, improving)))
 
-    x, lam, resid, it, _ = jax.lax.while_loop(cond, restart, init)
+    def restart_carrying(state):
+        out = restart(state)
+        # thread this restart's residual as the next comparison point
+        return out[:5] + (state[2],)
+
+    x, lam, resid, it, _, _ = jax.lax.while_loop(cond, restart_carrying, init)
     return EigshResult(lam, x, resid, it, resid <= tol)
 
 
