@@ -252,3 +252,46 @@ def leading_boundary_fibonacci(spsi: FibonacciInfiniteMPS, O, alg=None):
     envs = mpo_environments(psi, DenseMPO(tuple(Os[i] for i in range(psi.period))),
                             env_mask=env_mask, select_real=True)
     return dataclasses.replace(spsi, state=psi), envs, eps
+
+
+def anyonic_entropy_state(psi, bond: int = 0, rank_tol: float = 1e-6):
+    """Quantum-trace entanglement entropy of an UNMASKED boundary MPS of an
+    anyonic (path-basis) transfer MPO, e.g. the 3-site-unit-cell
+    hard-hexagon fixed point where uniform static masks cannot represent
+    the per-bond sector split.
+
+    The fixed point is exactly anyonic up to bond-basis rotation (the MPO's
+    fusion constraints annihilate path-violating components), so the sector
+    structure can be RECOVERED: the physical index equals the height after
+    the site, hence the vacuum subspace of bond i is the row space of
+    AL[i][:, 0, :]. Each Schmidt vector of C_i is assigned to the sector
+    carrying its dominant weight, and the entropy uses the quantum trace
+    S = -sum_a d_a sum p log p with sum_a d_a sum p = 1.
+
+    Caveat: the 3-site-unit-cell hard-hexagon boundary carries the Z3
+    sublattice twist, which mixes height sectors at the few-percent level
+    (the p=0 block's singular spectrum has no sharp rank gap) — recovery is
+    exact for 1-cell (masked) states and approximate for the twisted
+    3-cell fixed point, where the universal part of S is unchanged.
+    """
+    AL = np.asarray(psi.AL[bond % psi.period])
+    C = np.asarray(psi.C[bond % psi.period])
+    # vacuum sector of the right bond = row space of the p=0 block
+    M0 = AL[:, 0, :]
+    U0, s0, V0 = np.linalg.svd(M0)
+    r0 = int(np.sum(s0 > rank_tol * max(s0[0], 1e-300)))
+    P0 = V0[:r0].conj().T @ V0[:r0]          # projector onto sector 0
+    Us, s, Vs = np.linalg.svd(C)
+    # C_i sits on bond i; its ROW space lives on the same bond basis as
+    # AL[i]'s right leg (C_i = gauge at the right of site i)
+    w0 = np.einsum("ik,ij,jk->k", Us.conj(), P0, Us).real
+    sector = (w0 < 0.5).astype(int)          # 1 = tau
+    p = s * s
+    norm = float(np.sum(QDIMS[sector] * p))
+    p = p / norm
+    S = 0.0
+    for a in (0, 1):
+        pa = p[sector == a]
+        pa = pa[pa > 1e-300]
+        S -= QDIMS[a] * float(np.sum(pa * np.log(pa)))
+    return S, {0: p[sector == 0], 1: p[sector == 1]}

@@ -130,3 +130,23 @@ def test_fibonacci_masked_backend_converges():
     assert leak < 1e-10
     S = anyonic_entropy(spsi)
     assert np.isfinite(S) and S > 0
+
+
+@pytest.mark.slow
+def test_anyonic_entropy_sector_recovery():
+    """anyonic_entropy_state recovers the sector split of a converged
+    masked state from the dense tensors alone (no labels), matching the
+    label-based quantum-trace entropy exactly."""
+    from mpskit_tpu.symmetry.fibonacci import anyonic_entropy_state
+    from mpskit_tpu.algorithms.statmech import VUMPS_Boundary
+
+    O = hard_hexagon_fibonacci()
+    spsi = FibonacciInfiniteMPS.random(jax.random.PRNGKey(7), 8, L=1,
+                                       dtype=jnp.complex128)
+    spsi, envs, eps = leading_boundary_fibonacci(
+        spsi, O, VUMPS_Boundary(tol=1e-8, maxiter=150, verbosity=0))
+    S_lab = anyonic_entropy(spsi)
+    S_rec, probs = anyonic_entropy_state(spsi.state, 0)
+    assert abs(S_lab - S_rec) < 1e-9
+    lab = np.asarray(spsi.labels)
+    assert len(probs[0]) == int(np.sum(lab == 0))
