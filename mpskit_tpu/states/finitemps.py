@@ -110,6 +110,38 @@ class FiniteMPS:
         return FiniteMPS(jnp.zeros_like(ARs), ARs, AC, 0)
 
     @staticmethod
+    def from_dense(vec, d: int, D: int, dtype=None) -> "FiniteMPS":
+        """Build a FiniteMPS from a dense state vector of length d^L via an
+        SVD chain truncated to bond dimension D — the counterpart of the
+        reference's `decompose_localmps` (src/utility/utility.jl:57-68) as
+        used by the FiniteMPS-from-dense constructors. Host-side numpy
+        (construction-time), padded to the framework's static D."""
+        import numpy as np
+
+        vec = np.asarray(vec)
+        if dtype is not None:
+            vec = vec.astype(dtype)
+        n = vec.size
+        L = int(round(np.log(n) / np.log(d)))
+        assert d ** L == n, "vector length must be d^L"
+        dims = physical_bond_dims(L, d, D)
+        tensors = []
+        carry = vec.reshape(1, n)
+        kprev = 1
+        for i in range(L - 1):
+            M = carry.reshape(kprev * d, -1)
+            U, S, Vh = np.linalg.svd(M, full_matrices=False)
+            k = min(int(dims[i + 1]), S.shape[0])
+            tensors.append(U[:, :k].reshape(kprev, d, k))
+            carry = (S[:k, None] * Vh[:k]).reshape(k, -1)
+            kprev = k
+        tensors.append(carry.reshape(kprev, d, 1))
+        As = np.zeros((L, D, d, D), vec.dtype)
+        for i, t in enumerate(tensors):
+            As[i, : t.shape[0], :, : t.shape[2]] = t
+        return FiniteMPS.from_tensors(jnp.asarray(As))
+
+    @staticmethod
     def random(key, L: int, d: int, D: int, dtype=jnp.complex128) -> "FiniteMPS":
         """Random finite MPS with exactly-zero padding outside the physical
         bond ranks (cf. reference src/states/finitemps.jl:143-221 capping

@@ -105,3 +105,26 @@ def test_converged_solver_no_warning(caplog):
     with caplog.at_level(logging.WARNING, logger="mpskit_tpu"):
         find_groundstate_dmrg(psi, H, DMRG(tol=1e-9, maxiter=30, verbosity=1))
     assert not any("inner solve" in r.message for r in caplog.records)
+
+
+def test_finitemps_from_dense():
+    """FiniteMPS.from_dense (the reference's decompose_localmps path,
+    utility.jl:57-68): the ED ground state embeds exactly and energies
+    match the ED value."""
+    import numpy as np
+    import jax.numpy as jnp
+    from mpskit_tpu.models import transverse_field_ising
+    from mpskit_tpu.states import FiniteMPS
+    from mpskit_tpu.algorithms.expval import expectation_value
+
+    L, g, D = 6, 1.2, 8
+    H = transverse_field_ising(g=g, dtype=np.complex128)
+    M = H.to_matrix(L)
+    w, V = np.linalg.eigh(M)
+    psi = FiniteMPS.from_dense(V[:, 0], d=2, D=D)
+    e = float(np.real(expectation_value(psi, H)))
+    np.testing.assert_allclose(e, w[0], atol=1e-10)
+    # truncated case still normalized and close
+    psi8 = FiniteMPS.from_dense(V[:, 0], d=2, D=4)
+    e8 = float(np.real(expectation_value(psi8, H)))
+    assert abs(e8 - w[0]) < 0.1
