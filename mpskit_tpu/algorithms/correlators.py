@@ -61,3 +61,57 @@ def correlator(psi, O1, O2, i: int, js):
         return out[js[0]] if scalar else jnp.stack([out[j] for j in js])
 
     raise TypeError(type(psi))
+
+
+def string_correlator(psi, O1, Omid, O2, i: int, js):
+    """String order parameter <O1_i (prod_{i<k<j} Omid_k) O2_j> for j in js
+    (all j > i) — e.g. the den Nijs-Rommelse string order of the Haldane
+    phase with O1 = O2 = S^z, Omid = exp(i pi S^z). Same walking scheme as
+    `correlator` but every intermediate transfer carries the string
+    operator (the reference computes these through its generic multi-site
+    expectation_value path, expval.jl:42-61)."""
+    scalar = np.isscalar(js)
+    if scalar:
+        js = [js]
+    js = list(js)
+    assert all(j > i for j in js), "string_correlator requires j > i"
+    dt = psi.dtype if hasattr(psi, "dtype") else None
+    O1 = jnp.asarray(O1, dt)
+    Om = jnp.asarray(Omid, dt)
+    O2 = jnp.asarray(O2, dt)
+
+    def step_string(v, A):
+        # v[x_bra, y_ket] -> through one site carrying Omid
+        t = jnp.einsum("xy,ytn->xtn", v, A)
+        t = jnp.einsum("xtn,st->xsn", t, Om)
+        return jnp.einsum("xsm,xsn->mn", A.conj(), t)
+
+    if isinstance(psi, FiniteMPS):
+        p = psi.move_center(i)
+        AC = p.AC
+        den = jnp.vdot(AC, AC)
+        v = jnp.einsum("lsr,st,ltm->rm", AC.conj(), O1, AC)
+        vals = {}
+        for j in range(i + 1, max(js) + 1):
+            A = p.ARs[j]
+            if j in js:
+                vals[j] = jnp.einsum("xy,xsr,st,ytr->", v, A.conj(), O2,
+                                     A) / den
+            v = step_string(v, A)
+        return vals[js[0]] if scalar else jnp.stack([vals[j] for j in js])
+
+    if isinstance(psi, InfiniteMPS):
+        L = psi.period
+        AC = psi.AC[i % L]
+        den = jnp.vdot(AC, AC)
+        v = jnp.einsum("lsr,st,ltm->rm", AC.conj(), O1, AC)
+        out = {}
+        for j in range(i + 1, max(js) + 1):
+            A = psi.AR[j % L]
+            if j in js:
+                out[j] = jnp.einsum("xy,xsr,st,ytr->", v, A.conj(), O2,
+                                    A) / den
+            v = step_string(v, A)
+        return out[js[0]] if scalar else jnp.stack([out[j] for j in js])
+
+    raise TypeError(type(psi))

@@ -128,3 +128,44 @@ def test_finitemps_from_dense():
     psi8 = FiniteMPS.from_dense(V[:, 0], d=2, D=4)
     e8 = float(np.real(expectation_value(psi8, H)))
     assert abs(e8 - w[0]) < 0.1
+
+
+def test_string_correlator_vs_ed():
+    """string_correlator against a dense kron construction on a finite
+    chain (the den Nijs-Rommelse string order building block)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+    from mpskit_tpu.models import heisenberg_XXX
+    from mpskit_tpu.models.spins import spinmatrices
+    from mpskit_tpu.states import FiniteMPS
+    from mpskit_tpu.algorithms.find_groundstate import find_groundstate
+    from mpskit_tpu.algorithms.dmrg import DMRG
+    from mpskit_tpu.algorithms.correlators import string_correlator
+
+    L, D = 6, 32
+    H = heisenberg_XXX(spin=1, dtype=np.complex128)
+    psi = FiniteMPS.random(jax.random.PRNGKey(0), L, 3, D,
+                           dtype=jnp.complex128)
+    psi, _, _ = find_groundstate(psi, H, DMRG(tol=1e-10, maxiter=40,
+                                              verbosity=0))
+    _, _, Sz, _ = spinmatrices(1)
+    Sz = np.real(Sz)
+    expZ = np.diag(np.exp(1j * np.pi * np.diag(Sz))).real
+    i, j = 1, 4
+    val = complex(string_correlator(psi, Sz, expZ, Sz, i, j))
+
+    # dense oracle from the ED ground state
+    M = H.to_matrix(L)
+    w, V = np.linalg.eigh(M)
+    v0 = V[:, 0]
+    ops = [np.eye(3)] * L
+    ops[i] = Sz
+    ops[j] = Sz
+    for k in range(i + 1, j):
+        ops[k] = expZ
+    O = np.array([[1.0]])
+    for o in ops:
+        O = np.kron(O, o)
+    ref = v0.conj() @ O @ v0
+    np.testing.assert_allclose(val, ref, atol=1e-8)
