@@ -61,9 +61,11 @@ if __name__ == "__main__":
 
     ts = np.array([r[0] for r in rates])
     lam = np.array([r[1] for r in rates])
-    # first DQPT: maximum of the rate function near t*/2 ~ 1.17
+    # first DQPT: maximum of the rate function in the first window
     kstar = np.arccos((1 + g0 * g1) / (g0 + g1))
     tstar = np.pi / np.sqrt((g1 - np.cos(kstar)) ** 2 + np.sin(kstar) ** 2)
-    t1 = ts[np.argmax(lam[(ts > 0.5) & (ts < 2.0)].max() == lam)]
-    print(f"first DQPT at t ~ {t1:.2f}  (thermodynamic t*/2 = "
-          f"{tstar / 2:.2f}, finite-size shifted)")
+    win = (ts > 0.5) & (ts < 3.0)
+    t1 = ts[win][np.argmax(lam[win])]
+    print(f"first DQPT peak at t ~ {t1:.2f}  (thermodynamic t* (n+1/2) "
+          f"-> first kink at {tstar / 2:.2f}; finite L=20 rounds and "
+          "shifts it)")
