@@ -61,5 +61,10 @@ def find_groundstate(psi, H, alg=None, envs=None, tol: float = 1e-10,
     if isinstance(alg, IDMRG2):
         return find_groundstate_idmrg2(psi, H, alg)
     if isinstance(alg, GradientGrassmann):
+        from ..states.finitemps import FiniteMPS as _F
+        from .grassmann import find_groundstate_grassmann_finite
+
+        if isinstance(psi, _F):
+            return find_groundstate_grassmann_finite(psi, H, alg)
         return find_groundstate_grassmann(psi, H, alg)
     raise TypeError(type(alg))

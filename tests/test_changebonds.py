@@ -33,6 +33,7 @@ def test_svdcut_finite_overlap():
     assert abs(abs(ov) - 1.0) < 1e-8
 
 
+@pytest.mark.slow
 def test_svdcut_infinite():
     g, D = 1.5, 12
     H = transverse_field_ising(g=g)
@@ -43,6 +44,7 @@ def test_svdcut_infinite():
     assert abs(e - tfim_exact_density(g)) < 1e-6
 
 
+@pytest.mark.slow
 def test_expand_infinite():
     g = 1.5
     H = transverse_field_ising(g=g)
@@ -62,6 +64,7 @@ def test_expand_infinite():
     assert abs(e_big - tfim_exact_density(g)) < abs(e_small - tfim_exact_density(g))
 
 
+@pytest.mark.slow
 def test_vumpssvdcut():
     g, D = 1.2, 12
     H = transverse_field_ising(g=g)

@@ -32,6 +32,7 @@ def test_finite_qp_tfim_vs_ed():
     np.testing.assert_allclose(np.sort(np.asarray(es)), gaps, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_finite_qp_tfim_large_g():
     # reference oracle: gap = 2(g-1) at g=10, rtol 1e-2
     # (reference docs/src/man/algorithms.md:150-165; uniform-field
@@ -46,6 +47,7 @@ def test_finite_qp_tfim_large_g():
     assert abs(float(es[0]) - 2 * (g - 1)) / (2 * (g - 1)) < 1e-2
 
 
+@pytest.mark.slow
 def test_infinite_qp_tfim_gap():
     # TFIM H = -sum[ZZ + g X]: single-particle dispersion
     # eps(k) = 2 sqrt(1 + g^2 - 2 g cos k); gap at k=0 is 2(g-1) for g>1

@@ -2,6 +2,7 @@
 (reference src/algorithms/expval.jl:42-61 and :127-152)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -50,6 +51,7 @@ def test_multisite_string_finite():
     assert abs(v3) <= 1.0 + 1e-9
 
 
+@pytest.mark.slow
 def test_multisite_string_infinite():
     D = 16
     H = transverse_field_ising(g=G, dtype=np.float64)

@@ -18,6 +18,7 @@ def tfim_exact_density(g):
     return -quad(f, 0, np.pi)[0] / np.pi
 
 
+@pytest.mark.slow
 def test_idmrg1_tfim():
     g, D = 1.4, 12
     H = transverse_field_ising(g=g)
@@ -28,6 +29,7 @@ def test_idmrg1_tfim():
     assert abs(e - tfim_exact_density(g)) < 1e-6
 
 
+@pytest.mark.slow
 def test_idmrg2_tfim():
     g, D = 1.4, 12
     H = transverse_field_ising(g=g, period=2)

@@ -69,6 +69,7 @@ def test_heisenberg_mpo_dims():
     assert H.odim == 5  # 2 + rank-3 interior (Sx, Sy, Sz channels)
 
 
+@pytest.mark.slow
 def test_lazysum_multiple_environments():
     """Per-summand environments (reference multipleenv.jl) reproduce the
     merged-FSM effective Hamiltonian termwise — the reference's

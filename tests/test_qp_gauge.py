@@ -22,6 +22,7 @@ def _overlap(a, b):
     return abs(complex(a.dot(b)) / (na * nb))
 
 
+@pytest.mark.slow
 def test_finite_gauge_conversion_preserves_state():
     L, D = 7, 8
     H = transverse_field_ising(g=1.3)
@@ -52,6 +53,7 @@ def test_finite_gauge_conversion_preserves_state():
     assert float(jnp.max(jnp.abs(qp2.bs() - qp.bs()))) < 1e-10
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("p", [0.0, 0.7])
 def test_infinite_gauge_conversion_roundtrip(p):
     from mpskit_tpu.algorithms.vumps import VUMPS, find_groundstate_vumps

@@ -100,6 +100,7 @@ def _vumps_setup(period=2, D=8, g=1.4, dtype=jnp.float64):
     return psi, H
 
 
+@pytest.mark.slow
 def test_sharded_vumps_iteration_bond_mesh():
     """One VUMPS iteration with bond-sharded state == unsharded."""
     psi, H = _vumps_setup()

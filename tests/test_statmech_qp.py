@@ -8,6 +8,7 @@ from mpskit_tpu.algorithms.statmech import leading_boundary, VUMPS_Boundary
 from mpskit_tpu.algorithms.excitations_statmech import excitations_boundary
 
 
+@pytest.mark.slow
 def test_sixvertex_dispersion():
     # reference oracle (test/algorithms.jl:212-219): |E(0)| > |E(pi/2)|
     O = sixvertex()
@@ -21,6 +22,7 @@ def test_sixvertex_dispersion():
     assert abs(l0) > abs(l1), (abs(l0), abs(l1))
 
 
+@pytest.mark.slow
 def test_multiline_qp_matches_single_row():
     """nrows=2 multiline QP (reference qpenv.jl:171-303): with identical
     rows the coupled row-shifted operator is a cyclic permutation of

@@ -79,6 +79,7 @@ def test_sector_entanglement():
     assert max(spec, key=lambda q: np.max(spec[q])) == 0
 
 
+@pytest.mark.slow
 def test_u1_infinite_vumps():
     # sector-constrained VUMPS on the infinite XXZ chain conserves Sz and
     # matches the dense ground energy density

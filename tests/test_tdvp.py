@@ -38,6 +38,7 @@ def test_tdvp_finite_groundstate_phase():
     assert abs(E1 - E0) < 1e-8
 
 
+@pytest.mark.slow
 def test_tdvp_infinite_energy_conservation():
     D = 10
     H = heisenberg_XXX(spin=1)

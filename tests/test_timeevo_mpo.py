@@ -50,6 +50,7 @@ def test_time_mpo_vs_dense_expm(alg_name):
         assert np.linalg.norm(Ud - U_exact) < err1
 
 
+@pytest.mark.slow
 def test_mpo_time_evolution_conserves_energy():
     # evolve the ground state: truncation error is tiny, energy drift is
     # the O(dt^2) approximant error only
@@ -65,6 +66,7 @@ def test_mpo_time_evolution_conserves_energy():
     assert abs(E1 - E0) < 2e-3
 
 
+@pytest.mark.slow
 def test_mpo_product_consistency():
     # W * (W * psi) ~= (W @ W) * psi (reference test/operators.jl:159-168)
     L, D, dt = 6, 16, 0.03

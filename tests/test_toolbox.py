@@ -96,6 +96,7 @@ def test_pbc_vs_ed():
     np.testing.assert_allclose(M, Hd, atol=1e-12)
 
 
+@pytest.mark.slow
 def test_find_groundstate_dispatch_and_grassmann():
     g, D = 2.0, 8
     H = transverse_field_ising(g=g)

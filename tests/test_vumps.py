@@ -28,6 +28,7 @@ def test_vumps_tfim():
     assert abs(float(envs.e_density) - tfim_exact_density(g)) < 1e-7
 
 
+@pytest.mark.slow
 def test_vumps_tfim_two_site_cell():
     g, D = 2.0, 10
     H = transverse_field_ising(g=g, period=2)
@@ -37,6 +38,7 @@ def test_vumps_tfim_two_site_cell():
     assert np.allclose(ens, tfim_exact_density(g), atol=1e-7)
 
 
+@pytest.mark.slow
 def test_vumps_heisenberg_spin1():
     # H = 4 sum S.S ; e0/site = 4 * (-1.401484038971...)
     D = 24

@@ -13,6 +13,7 @@ from mpskit_tpu.algorithms.tdvp import TDVP, timestep
 from mpskit_tpu.algorithms.expval import expectation_value
 
 
+@pytest.mark.slow
 def test_window_dmrg_matches_infinite():
     # a window cut from the VUMPS ground state, re-optimized with DMRG,
     # keeps the infinite bulk magnetization in its center
@@ -32,6 +33,7 @@ def test_window_dmrg_matches_infinite():
     assert abs(mx_win - mx_inf) < 1e-6
 
 
+@pytest.mark.slow
 def test_window_tdvp_local_quench():
     # evolving the unperturbed window keeps it (close to) stationary
     g, D = 1.5, 10
@@ -48,6 +50,7 @@ def test_window_tdvp_local_quench():
     assert abs(mx1 - mx0) < 1e-5
 
 
+@pytest.mark.slow
 def test_window_grow():
     # growing the window absorbs exact ground-state cells: the physical
     # state is unchanged and the enlarged window remains stationary
