@@ -48,6 +48,7 @@ from .states import (
 from .operators import (
     MPOHamiltonian, DenseMPO, MPOMultiline, LazySum, MultipliedOperator,
     TimedOperator, UntimedOperator, ProjectionOperator, LinearCombination,
+    Window,
 )
 from .operators.apply import apply_densempo_finite, apply_densempo_infinite
 
@@ -63,6 +64,7 @@ from .algorithms import (
     entropy, entanglement_spectrum, transfer_spectrum, correlation_length,
     marek_gap, variance, calc_galerkin, fidelity_susceptibility,
     exact_diagonalization, periodic_boundary_conditions, make_time_mpo,
+    infinite_temperature,
 )
 
 # abelian symmetry (charge-sector states)

@@ -17,7 +17,7 @@ from .changebonds import (
 )
 from .approximate import approximate, FitDMRG, FitDMRG2, FitIDMRG, FitIDMRG2
 from .propagator import propagator, DynamicalDMRG, NaiveInvert, Jeckelmann
-from .expval import expectation_value
+from .expval import expectation_value, infinite_temperature
 from .correlators import correlator
 from .toolbox import (
     entropy,

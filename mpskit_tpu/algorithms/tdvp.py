@@ -157,8 +157,11 @@ def timestep(psi, H, t, dt, alg=None, envs=None):
     """Evolve psi by one time step dt (Hamiltonian evaluated at midpoint for
     time-dependent operators). Returns (psi, envs)."""
     from ..operators.lazysum import LazySum, MultipliedOperator
+    from ..operators.window import Window
 
-    if isinstance(H, (LazySum, MultipliedOperator)):
+    if isinstance(H, Window):
+        H = H.map(lambda O: _materialize(O, t + dt / 2))
+    elif isinstance(H, (LazySum, MultipliedOperator)):
         H = _materialize(H, t + dt / 2)
 
     if alg is None:
@@ -186,9 +189,36 @@ def timestep(psi, H, t, dt, alg=None, envs=None):
     from ..states.windowmps import WindowMPS
 
     if isinstance(psi, WindowMPS):
-        # evolve the window against the infinite boundary environments
-        # (reference tdvp.jl window variant; left/right ground states are
-        # kept frozen here)
+        if isinstance(H, Window):
+            # co-evolving boundaries: the infinite background states make
+            # a TDVP step under their own Hamiltonians, then the window
+            # evolves against the UPDATED boundary fixed points. envs
+            # threads ((lenvs, renvs)) across steps to warm-start the four
+            # geometric-series solves.
+            lenvs, renvs = envs if envs is not None else (None, None)
+            left_gs, lenvs = _timestep_infinite(
+                psi.left_gs, H.left, dt, alg.expalg_m, alg.gauge_tol,
+                alg.env_tol, env_guess=lenvs)
+            right_gs, renvs = _timestep_infinite(
+                psi.right_gs, H.right, dt, alg.expalg_m, alg.gauge_tol,
+                alg.env_tol, env_guess=renvs)
+            psi = WindowMPS(left_gs, psi.window, right_gs)
+            win = psi.window.move_center(0)
+            L = win.length
+            Ws = stack_W(H.middle, L).astype(win.dtype)
+            GL0, GRL, lenvs, renvs = psi.boundary_envs(
+                H.left, H_right=H.right, env_init=(lenvs, renvs),
+                return_envs=True)
+            GRs = compute_right_envs(win.ARs, Ws, GRL)
+            ALs, ARs, AC, GRs = _timestep_finite(
+                win.ALs, win.ARs, win.AC, Ws, GRs, alg.expalg_m, dt=dt,
+                GL0=GL0, GRL=GRL)
+            return WindowMPS(left_gs, FiniteMPS(ALs, ARs, AC, 0),
+                             right_gs), (lenvs, renvs)
+
+        # frozen boundaries (reference tdvp.jl window variant: the window
+        # is a plain finite chain with infinite-side fixed-point
+        # environments)
         win = psi.window.move_center(0)
         L, D = win.length, win.D
         Ws = stack_W(H, L).astype(win.dtype)

@@ -172,19 +172,28 @@ class WindowMPS:
         window = FiniteMPS(ALs, ARs, AC, c - n_left)
         return WindowMPS(self.left_gs, window, self.right_gs), dev
 
-    def boundary_envs(self, H):
+    def boundary_envs(self, H, H_right=None, env_init=(None, None),
+                      return_envs=False):
         """(GL0, GRL) boundary environments of the window: left/right
         infinite fixed points padded to the window bond dimension
-        (cf. reference FinEnv.jl:84-89 seeding window envs)."""
+        (cf. reference FinEnv.jl:84-89 seeding window envs).
+
+        H_right: operator for the right boundary when it differs from the
+        left one (Window-operator evolution). env_init warm-starts the two
+        geometric-series solves; with return_envs=True the full infinite
+        env objects are returned as well (for reuse across time steps)."""
         from ..environments.infinite_ham import hamiltonian_environments
 
-        envL = hamiltonian_environments(self.left_gs, H)
-        envR = hamiltonian_environments(self.right_gs, H)
+        envL = hamiltonian_environments(self.left_gs, H, env_init=env_init[0])
+        envR = hamiltonian_environments(self.right_gs, H_right or H,
+                                        env_init=env_init[1])
         w = envL.GLs.shape[1]
         Dw = self.D
-        Din = self.left_gs.D
         GL0 = jnp.zeros((w, Dw, Dw), self.dtype)
-        GL0 = GL0.at[:, :Din, :Din].set(envL.GLs[0])
+        GL0 = GL0.at[:, : self.left_gs.D, : self.left_gs.D].set(envL.GLs[0])
         GRL = jnp.zeros((w, Dw, Dw), self.dtype)
-        GRL = GRL.at[:, :Din, :Din].set(envR.GRs[self.right_gs.period - 1])
+        GRL = GRL.at[:, : self.right_gs.D, : self.right_gs.D].set(
+            envR.GRs[self.right_gs.period - 1])
+        if return_envs:
+            return GL0, GRL, envL, envR
         return GL0, GRL

@@ -104,3 +104,45 @@ def test_window_grow_shrink_roundtrip():
     assert float(dev2) < 1e-8  # trailing edge is the unperturbed gs
     mx2 = complex(expectation_value(moved.window, (2, X))).real
     assert abs(mx2 - mx0) < 1e-7
+
+
+@pytest.mark.slow
+def test_window_global_quench_coevolving_boundaries():
+    """Global quench g0 -> g1 with Window(H1): the boundary states evolve
+    too, so the window CENTER must track the translation-invariant pure
+    infinite-TDVP evolution. The frozen-boundary evolution (plain H) has
+    no such guarantee — check the co-evolving error is both small and
+    not larger than the frozen one."""
+    from mpskit_tpu.operators import Window
+
+    g0, g1, D, L = 1.5, 1.2, 12, 10
+    H0 = transverse_field_ising(g=g0, dtype=np.complex128)
+    H1 = transverse_field_ising(g=g1, dtype=np.complex128)
+    psi = InfiniteMPS.random(jax.random.PRNGKey(5), 1, 2, D,
+                             dtype=jnp.complex128)
+    psi, _, _ = find_groundstate_vumps(psi, H0, VUMPS(tol=1e-10, maxiter=200))
+    X, _, Z, _ = pauli()
+    from mpskit_tpu.algorithms.expval_infinite import expval_infinite_local
+
+    dt, nsteps = 0.05, 8
+    # oracle: translation-invariant quench dynamics
+    psi_t, ienvs = psi, None
+    for _ in range(nsteps):
+        psi_t, ienvs = timestep(psi_t, H1, 0.0, dt, TDVP(), envs=ienvs)
+    mx_exact = complex(expval_infinite_local(psi_t, X, 0)).real
+
+    win0 = WindowMPS.from_infinite(psi, L=L)
+    win, wenvs = win0, None
+    for _ in range(nsteps):
+        win, wenvs = timestep(win, Window(H1), 0.0, dt, TDVP(), envs=wenvs)
+    mx_co = complex(expectation_value(win.window, (L // 2, X))).real
+
+    frozen = win0
+    for _ in range(nsteps):
+        frozen, _ = timestep(frozen, H1, 0.0, dt, TDVP())
+    mx_frozen = complex(expectation_value(frozen.window, (L // 2, X))).real
+
+    err_co = abs(mx_co - mx_exact)
+    err_frozen = abs(mx_frozen - mx_exact)
+    assert err_co < 2e-3, (mx_co, mx_exact)
+    assert err_co <= err_frozen + 1e-6, (err_co, err_frozen)
