@@ -3,7 +3,7 @@
   2. one-site DMRG sweep time, finite TFIM at D=512 (the headline metric,
      printed LAST so a last-line parser picks it up).
 
-Each line is {"metric", "value", "unit", "vs_baseline"}.
+Each line is {"metric", "value", "unit", "vs_baseline", "vs_1core_cpu"}.
 
 vs_baseline compares against a 64-core CPU reference derived from a
 MEASURED single-core CPU run of the exact same code (XLA CPU backend,
@@ -77,6 +77,7 @@ def bench_vumps():
         "value": round(dt, 4),
         "unit": "s",
         "vs_baseline": round(CPU_REFERENCE_VUMPS_S / dt, 2),
+        "vs_1core_cpu": round(64 * CPU_REFERENCE_VUMPS_S / dt, 1),
     }))
 
 
@@ -129,6 +130,7 @@ def main():
         "value": round(dt, 4),
         "unit": "s",
         "vs_baseline": round(CPU_REFERENCE_SWEEP_S / dt, 2),
+        "vs_1core_cpu": round(64 * CPU_REFERENCE_SWEEP_S / dt, 1),
     }))
 
 
