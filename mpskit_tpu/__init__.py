@@ -66,6 +66,9 @@ from .algorithms import (
     exact_diagonalization, periodic_boundary_conditions, make_time_mpo,
     infinite_temperature,
 )
+from .algorithms.paramscan import (
+    scan_groundstate_vumps, stack_hamiltonians, ScanResult,
+)
 
 # abelian symmetry (charge-sector states)
 from .symmetry import (

@@ -5,6 +5,10 @@ from .idmrg import (
     IDMRG1, IDMRG2, find_groundstate_idmrg1, find_groundstate_idmrg2,
 )
 from .grassmann import GradientGrassmann, find_groundstate_grassmann
+from .paramscan import (
+    scan_groundstate_vumps, stack_hamiltonians, stack_states, unstack_states,
+    ScanResult,
+)
 from .find_groundstate import find_groundstate
 from .statmech import leading_boundary, VUMPS_Boundary, VOMPS
 from .tdvp import TDVP, TDVP2, timestep
