@@ -45,6 +45,22 @@ class QuasiparticleAnsatz:
     maxrestarts: int = 40
     env_tol: float = 1e-10
     verbosity: int = Defaults.verbosity
+    # "lanczos" assumes an (effectively) Hermitian H_eff; "arnoldi" uses the
+    # smallest-real-part restarted Arnoldi (linalg.arnoldi), robust when
+    # Hermiticity is broken at working precision (f32 env-GMRES tails) —
+    # mirrors KrylovKit eigsolve's automatic Lanczos/Arnoldi selection in
+    # the reference's quasiparticleexcitation.jl.
+    solver: str = "lanczos"
+
+
+def _qp_eigsolve(mv, x0, alg: QuasiparticleAnsatz):
+    """Dispatch the QP eigensolve per alg.solver."""
+    if alg.solver == "arnoldi":
+        from ..linalg.arnoldi import smallest_eigs_arnoldi
+
+        return smallest_eigs_arnoldi(mv, x0, alg.krylovdim,
+                                     alg.maxrestarts, alg.tol)
+    return eigsh_smallest(mv, x0, alg.krylovdim, alg.maxrestarts, alg.tol)
 
 
 # ----------------------------------------------------------------------------
@@ -138,8 +154,7 @@ def _solve_qp(qp0, H, GLs, GRs, Es, alg, num):
                 y = y + shift * ov * xf
             return y
 
-        res = eigsh_smallest(mv, qp0.Xs, alg.krylovdim, alg.maxrestarts,
-                             alg.tol)
+        res = _qp_eigsolve(mv, qp0.Xs, alg)
         es.append(res.eigenvalue)
         xs.append(res.eigenvector)
     return jnp.stack(es), xs
@@ -169,8 +184,7 @@ def excitations_infinite_batched(H, alg: QuasiparticleAnsatz, momenta, psi,
             return _qp_matvec_infinite(X, qp0, H, envs.GLs, envs.GRs, Es,
                                        alg.env_tol, phase=phase)
 
-        res = eigsh_smallest(mv, qp0.Xs, alg.krylovdim, alg.maxrestarts,
-                             alg.tol)
+        res = _qp_eigsolve(mv, qp0.Xs, alg)
         return res.eigenvalue
 
     return jax.vmap(solve_one)(phases)
@@ -229,8 +243,7 @@ def excitations_finite(H, alg: QuasiparticleAnsatz, psi: FiniteMPS,
                 y = y + shift * jnp.vdot(xf, X) * xf
             return y
 
-        res = eigsh_smallest(mv, qp0.Xs, alg.krylovdim, alg.maxrestarts,
-                             alg.tol)
+        res = _qp_eigsolve(mv, qp0.Xs, alg)
         es.append(res.eigenvalue)
         xs.append(res.eigenvector)
     qps = [dataclasses.replace(qp0, Xs=x) for x in xs]

@@ -286,8 +286,8 @@ def calc_envs_paired(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12,
     (2, D, D) operands. The two diagonal transfer operators are similar
     matrices (AL and AR are related by the gauge C), so the combined
     Krylov solve converges at the single-solve rate: the sequential solve
-    depth per FSM level halves (measured on v5e, D=256 f32 TFIM VUMPS
-    steady state: 19.5 -> 14.5 ms per iteration).
+    depth per FSM level halves (measured via bench.py on v5e, D=256 f32
+    TFIM VUMPS steady state: 20.0 -> 17.5 ms per iteration).
     """
     L, D = psi.period, psi.D
     w = H.odim

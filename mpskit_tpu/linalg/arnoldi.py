@@ -193,6 +193,74 @@ def _host_eig_real_select(Hm, nvalid):
     return np.complex128(w[idx]), out
 
 
+def _host_eig_smallest_real(Hm, nvalid):
+    """Ritz pair with the smallest real part of the leading nvalid block."""
+    m = Hm.shape[0]
+    n = max(int(nvalid), 1)
+    H = np.asarray(Hm)[:n, :n]
+    w, V = np.linalg.eig(H)
+    idx = int(np.argmin(w.real))
+    z = V[:, idx]
+    k = int(np.argmax(np.abs(z)))
+    z = z * (np.abs(z[k]) / z[k] if z[k] != 0 else 1.0)
+    out = np.zeros(m, np.complex128)
+    out[:n] = z
+    return np.complex128(w[idx]), out
+
+
+def smallest_eigs_arnoldi(matvec: Callable, v0, m: int = 30,
+                          maxrestarts: int = 100, tol=1e-12) -> EigsResult:
+    """Smallest-REAL-PART eigenpair of a general (non-Hermitian) operator.
+
+    Restarted Arnoldi with host Rayleigh-Ritz selection (pure_callback to
+    LAPACK for the small dense eigenproblem, same pattern as
+    dominant_eigs_real). The Hermiticity-robust alternative to Lanczos for
+    quasiparticle effective Hamiltonians whose symmetry is broken at the
+    working precision — e.g. f32 environment-GMRES tails, or analytically
+    for complex momenta (KrylovKit's eigsolve auto-selects Arnoldi for
+    non-Hermitian maps; reference
+    src/algorithms/excitation/quasiparticleexcitation.jl eigsolve call)."""
+
+    cdt = basis_inner_all(basis_zeros(v0, 1), v0).dtype
+
+    def small_select(Hm, nvalid):
+        shapes = (jax.ShapeDtypeStruct((), jnp.complex128),
+                  jax.ShapeDtypeStruct((m,), jnp.complex128))
+        theta, z = jax.pure_callback(
+            _host_eig_smallest_real, shapes, Hm.astype(jnp.complex128),
+            nvalid, vmap_method="sequential")
+        return theta, z.astype(cdt)
+
+    def restart(state):
+        v, _, _, it = state
+        V, H, nvalid = arnoldi_factorize(matvec, v, m)
+        theta, z = small_select(H[:m, :m], nvalid)
+        x = basis_combine(V, jnp.pad(z, (0, 1)))
+        xn = tree_norm(x)
+        x = tree_scale(1.0 / jnp.maximum(xn, _BREAKDOWN), x)
+        last = jnp.clip(nvalid - 1, 0, m - 1)
+        resid = jnp.where(
+            nvalid < m,
+            jnp.zeros((), jnp.abs(theta).dtype),
+            jnp.abs(H[last + 1, last] * z[last])
+            / jnp.maximum(jnp.abs(theta), _BREAKDOWN),
+        )
+        theta = theta.astype(cdt) if jnp.issubdtype(cdt, jnp.complexfloating) \
+            else jnp.real(theta).astype(cdt)
+        return x, theta, resid.astype(jnp.zeros((), cdt).real.dtype), it + 1
+
+    def cond(state):
+        _, _, resid, it = state
+        return jnp.logical_and(it < maxrestarts,
+                               jnp.logical_or(it < 1, resid > tol))
+
+    rdt = jnp.zeros((), cdt).real.dtype
+    init = (v0, jnp.zeros((), cdt), jnp.array(jnp.inf, rdt),
+            jnp.zeros((), jnp.int32))
+    x, theta, resid, it = jax.lax.while_loop(cond, restart, init)
+    return EigsResult(theta, x, resid, it, resid <= tol)
+
+
 def dominant_eigs_real(matvec: Callable, v0, m: int = 30,
                        maxrestarts: int = 100, tol=1e-12) -> EigsResult:
     """Largest-magnitude (near-)REAL eigenpair of a general operator.
