@@ -1,0 +1,54 @@
+"""Phase-diagram scan of the transverse-field Ising chain in ONE vmapped
+VUMPS run: every coupling g shares a single compiled iteration, so the
+whole scan costs roughly one ground-state search of wall-clock on TPU
+(the per-site Lanczos solves batch over the parameter axis onto the MXU).
+
+The reference workflow is a host loop of independent find_groundstate
+calls (e.g. reference docs/src/examples/quantum1d ground-state examples);
+the batched form is TPU-native with no reference counterpart.
+
+Produces: energy density e(g) vs the exact integral, and the
+ferromagnetic order parameter <Z>(g) showing the transition at g = 1.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+import jax.numpy as jnp
+import numpy as np
+
+import mpskit_tpu as mk
+from mpskit_tpu.algorithms.paramscan import scan_groundstate_vumps
+from mpskit_tpu.algorithms.vumps import VUMPS
+from mpskit_tpu.algorithms.paramscan import unstack_states
+
+D = 24
+gs = np.linspace(0.2, 2.0, 10)
+
+Hs = [mk.models.transverse_field_ising(g=float(g)) for g in gs]
+psis = [mk.InfiniteMPS.random(jax.random.PRNGKey(i), 1, 2, D)
+        for i in range(len(gs))]
+
+# the critical point g = 1 slows VUMPS down (gapless transfer spectrum);
+# its gauge residual plateaus near 1e-4 at this D while every gapped point
+# reaches machine precision — the eps column makes that visible
+res = scan_groundstate_vumps(psis, Hs, VUMPS(tol=1e-8, maxiter=250))
+
+Z = jnp.asarray([[1.0, 0.0], [0.0, -1.0]])
+
+
+def exact_density(g):
+    from scipy.integrate import quad
+
+    f = lambda k: np.sqrt(1 + g * g - 2 * g * np.cos(k))
+    return -quad(f, 0, np.pi)[0] / np.pi
+
+
+print(f"{'g':>6} {'e(g)':>14} {'exact':>14} {'|err|':>9} {'eps':>9} {'<Z>':>8}")
+for g, psi, e, eps in zip(gs, unstack_states(res.psis),
+                          np.asarray(res.energies).real,
+                          np.asarray(res.eps)):
+    mz = float(jnp.real(mk.expectation_value(psi, (0, Z))))
+    print(f"{g:6.2f} {e:14.10f} {exact_density(g):14.10f} "
+          f"{abs(e - exact_density(g)):9.2e} {eps:9.2e} {abs(mz):8.4f}")
