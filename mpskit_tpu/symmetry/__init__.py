@@ -10,3 +10,13 @@ from .fibonacci import (
     anyonic_entropy,
     fibonacci_bond_labels,
 )
+from .category import (
+    FusionCategory,
+    fibonacci_category,
+    ising_category,
+    zn_category,
+    bond_labels,
+    chain_masks,
+    quantum_schmidt,
+    quantum_entropy,
+)

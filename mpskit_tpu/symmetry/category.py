@@ -1,0 +1,364 @@
+"""General fusion-category layer — the TPU-native counterpart of
+TensorKit's sector/fusion-tree machinery for arbitrary (multiplicity-free,
+unitary) fusion categories (reference: TensorKit sectors used throughout,
+e.g. `Vect[FibonacciAnyon]` in examples/classic2d/1.hard-hexagon/main.jl:7-8
+and `Rep[SU₂]` in test/setup.jl:46-65).
+
+This module abstracts what `symmetry/fibonacci.py` hand-codes for the
+Fibonacci category into data-driven machinery that works for any
+multiplicity-free unitary fusion category:
+
+  * `FusionCategory` — static sector data: quantum dimensions, fusion
+    multiplicities N[a,b,c] in {0,1}, and F-symbols
+    [F^{abc}_d]_{e,f} (the recoupling (a⊗b)⊗c → a⊗(b⊗c)), with a
+    numerical pentagon-equation validator.
+  * masked-dense anyonic MPS support: `bond_labels` (split a dense bond
+    by quantum-dimension proportions), `chain_masks` (A/C masks in the
+    fusion-path basis: physical index = height after the site),
+    `quantum_schmidt`/`quantum_entropy` (quantum-trace entanglement,
+    S = -Σ_a d_a Σ_i p_{a,i} log p_{a,i}).
+  * anyonic chains: the local projector onto fusion channel c of two
+    neighboring chain anyons in the height basis (Feiguin et al.,
+    PRL 98, 160409 (2007) "golden chain" construction),
+        (P^{(c)})^{a, d}_{h, h'} = [F^{a x x}_d]_{h c} [F^{a x x}_d]*_{h' c},
+    a dense path-basis Hamiltonian for ED oracles, and an
+    `MPOHamiltonian` over the unconstrained height tensor basis (the
+    valid-path sector is an invariant subspace — F-symbol elements
+    vanish on inadmissible heights — so DMRG/VUMPS run unmodified).
+
+All contractions remain dense MXU work; symmetry enters as static masks
+and as the F-data used to *construct* operators, exactly like the
+Fibonacci backend. The concrete categories provided: `fibonacci_category`
+(golden chain / hard-hexagon), `ising_category` (Ising anyons σ, ψ),
+`zn_category` (abelian degenerate case, a consistency anchor against
+symmetry/charges.py).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from itertools import product
+from typing import Dict, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class FusionCategory:
+    """Multiplicity-free unitary fusion category, as plain static data.
+
+    F convention: ``F[a, b, c, d]`` is the matrix of the recoupling
+    (a⊗b)⊗c → a⊗(b⊗c) at total charge d, with row index e ∈ a⊗b (the
+    left-associated intermediate) and column index f ∈ b⊗c (the
+    right-associated intermediate):
+
+        |(ab)e, c; d> = Σ_f  [F^{abc}_d]_{e f} |a, (bc)f; d>
+
+    Entries for inadmissible (a,b,c,d,e,f) are zero.
+    """
+
+    name: str
+    sectors: Tuple[str, ...]
+    qdim: np.ndarray            # (n,)
+    N: np.ndarray               # (n, n, n) in {0,1}: c in a (x) b
+    F: np.ndarray               # (n, n, n, n, n, n): [F^{abc}_d]_{e,f}
+    dual: Tuple[int, ...]       # a -> a-bar
+
+    @property
+    def n(self) -> int:
+        return len(self.sectors)
+
+    def fuse(self, a: int, b: int) -> Tuple[int, ...]:
+        return tuple(int(c) for c in np.where(self.N[a, b] > 0)[0])
+
+    @property
+    def total_qdim(self) -> float:
+        """D = sqrt(Σ_a d_a²)."""
+        return float(np.sqrt(np.sum(self.qdim ** 2)))
+
+    # -- structural validators (used by tests; cheap, host-side) ---------
+
+    def check_fusion(self) -> None:
+        """Associativity of fusion multiplicities and unit axioms."""
+        N = self.N
+        # unit: sector 0 is the monoidal unit
+        assert np.array_equal(N[0], np.eye(self.n, dtype=N.dtype))
+        assert np.array_equal(N[:, 0], np.eye(self.n, dtype=N.dtype))
+        # associativity: Σ_e N[a,b,e] N[e,c,d] == Σ_f N[b,c,f] N[a,f,d]
+        lhs = np.einsum("abe,ecd->abcd", N, N)
+        rhs = np.einsum("bcf,afd->abcd", N, N)
+        assert np.array_equal(lhs, rhs), "fusion not associative"
+        # duals: 0 in a (x) a-bar
+        for a in range(self.n):
+            assert N[a, self.dual[a], 0] == 1
+
+    def check_unitarity(self, atol: float = 1e-12) -> None:
+        """Every F-matrix block [F^{abc}_d] is unitary on its admissible
+        support (the fusion-tree basis change is an isometry)."""
+        for a, b, c, d in product(range(self.n), repeat=4):
+            es = [e for e in self.fuse(a, b) if self.N[e, c, d]]
+            fs = [f for f in self.fuse(b, c) if self.N[a, f, d]]
+            if not es:
+                continue
+            M = self.F[a, b, c, d][np.ix_(es, fs)]
+            assert M.shape[0] == M.shape[1], (a, b, c, d)
+            err = np.max(np.abs(M @ M.conj().T - np.eye(len(es))))
+            assert err < atol, (a, b, c, d, err)
+
+    def check_pentagon(self, atol: float = 1e-12) -> None:
+        """Pentagon equation (multiplicity-free form, Bonderson thesis
+        eq. 2.68):
+
+          [F^{fcd}_e]_{gl} [F^{abl}_e]_{fk}
+              = Σ_h [F^{abc}_g]_{fh} [F^{ahd}_e]_{gk} [F^{bcd}_k]_{hl}
+        """
+        n, F, N = self.n, self.F, self.N
+
+        def adm(a, b, c):
+            return N[a, b, c] > 0
+
+        for a, b, c, d, e in product(range(n), repeat=5):
+            for f in self.fuse(a, b):
+                for g in self.fuse(f, c):
+                    if not adm(g, d, e):
+                        continue
+                    for l in self.fuse(c, d):
+                        if not adm(f, l, e):
+                            continue
+                        for k in self.fuse(b, l):
+                            if not adm(a, k, e):
+                                continue
+                            lhs = F[f, c, d, e][g, l] * F[a, b, l, e][f, k]
+                            rhs = sum(
+                                F[a, b, c, g][f, h] * F[a, h, d, e][g, k]
+                                * F[b, c, d, k][h, l]
+                                for h in range(n))
+                            assert abs(lhs - rhs) < atol, (
+                                (a, b, c, d, e, f, g, k, l), lhs, rhs)
+
+    # -- anyonic chain building blocks -----------------------------------
+
+    def chain_projector(self, x: int, channel: int) -> np.ndarray:
+        """The local projector onto fusion channel `channel` of two
+        neighboring chain anyons x, in the height basis (Feiguin et al.):
+
+            P[a, d, h, h'] = [F^{a x x}_d]_{h c} [F^{a x x}_d]*_{h' c}
+
+        acting on height h_i (→ h'_i) with fixed neighbors a = h_{i-1},
+        d = h_{i+1}. Elements vanish off the admissible-path support, so
+        the valid-path subspace is invariant.
+        """
+        Fx = self.F[:, x, x, :]          # (a, d, e, f)
+        col = Fx[:, :, :, channel]       # (a, d, h)
+        return np.einsum("adh,adk->adhk", col, col.conj())
+
+    def chain_local_term(self, x: int, channel: int) -> np.ndarray:
+        """The 3-site local operator O[(p1 p2 p3), (p1' p2' p3')] over the
+        *unconstrained* height tensor basis: diagonal in the outer heights,
+        `chain_projector` on the middle one. Feed to
+        `MPOHamiltonian.from_local`."""
+        n = self.n
+        P = self.chain_projector(x, channel)
+        O = np.einsum("aA,adhk,dD->ahdAkD", np.eye(n), P, np.eye(n))
+        return O.reshape(n ** 3, n ** 3).reshape((n,) * 6)
+
+    def path_basis(self, x: int, L: int, left: int | None = 0,
+                   right: int | None = None) -> np.ndarray:
+        """All admissible height sequences (h_1 .. h_L) of a chain of L
+        anyons x: h_1 ∈ left ⊗ x if `left` is fixed (default: vacuum),
+        otherwise any sector admitting some predecessor; consecutive
+        heights satisfy h_{i+1} ∈ h_i ⊗ x; optionally h_L == right.
+        Returns an (n_paths, L) int array."""
+        if left is None:
+            starts = [h for h in range(self.n)
+                      if any(self.N[a, x, h] for a in range(self.n))]
+        else:
+            starts = list(self.fuse(left, x))
+        paths = [[h] for h in starts]
+        for _ in range(L - 1):
+            paths = [p + [h] for p in paths for h in self.fuse(p[-1], x)]
+        if right is not None:
+            paths = [p for p in paths if p[-1] == right]
+        return np.asarray(paths, int).reshape(-1, L)
+
+    def chain_hamiltonian_dense(self, x: int, channel: int, L: int,
+                                coupling: float = -1.0,
+                                left: int | None = 0,
+                                right: int | None = None) -> tuple:
+        """Dense ED oracle: H = coupling · Σ_{i=2}^{L-1} P^{(channel)}_i in
+        the admissible path basis (windows fully inside h_1..h_L, matching
+        `MPOHamiltonian.from_local`'s finite-chain window convention).
+        Returns (H, paths)."""
+        paths = self.path_basis(x, L, left=left, right=right)
+        npz = len(paths)
+        index = {tuple(p): i for i, p in enumerate(map(tuple, paths))}
+        P = self.chain_projector(x, channel)
+        H = np.zeros((npz, npz), self.F.dtype)
+        for i, p in enumerate(map(list, paths)):
+            for site in range(1, L - 1):
+                a, h, d = p[site - 1], p[site], p[site + 1]
+                for hp in range(self.n):
+                    amp = P[a, d, hp, h]
+                    if amp == 0.0:
+                        continue
+                    q = list(p)
+                    q[site] = hp
+                    j = index.get(tuple(q))
+                    if j is not None:
+                        H[j, i] += coupling * amp
+        return H, paths
+
+    def chain_mpo(self, x: int, channel: int, coupling: float = -1.0,
+                  period: int = 1, dtype=np.float64):
+        """`MPOHamiltonian` of the anyonic chain over the height tensor
+        basis (physical dimension = number of sectors): H = coupling ·
+        Σ_i P^{(channel)}_i. The admissible-path sector is invariant; with
+        coupling < 0 the ground state lies inside it."""
+        from ..operators.mpo import MPOHamiltonian
+
+        O = coupling * self.chain_local_term(x, channel)
+        return MPOHamiltonian.from_local(O.astype(dtype), period=period)
+
+
+# ---------------------------------------------------------------------------
+# Concrete categories
+# ---------------------------------------------------------------------------
+
+def _fill_trivial_F(N: np.ndarray) -> np.ndarray:
+    """Start from the 'all admissible F-elements are +1' gauge; categories
+    with genuinely nontrivial associators overwrite blocks afterwards."""
+    n = N.shape[0]
+    F = np.zeros((n, n, n, n, n, n))
+    for a, b, c, d in product(range(n), repeat=4):
+        for e in range(n):
+            if not (N[a, b, e] and N[e, c, d]):
+                continue
+            for f in range(n):
+                if N[b, c, f] and N[a, f, d]:
+                    F[a, b, c, d, e, f] = 1.0
+    return F
+
+
+def fibonacci_category() -> FusionCategory:
+    """Sectors (1, τ); τ⊗τ = 1 ⊕ τ; d_τ = φ. The nontrivial associator is
+    [F^{τττ}_τ] = [[1/φ, 1/√φ], [1/√φ, -1/φ]] in the (1, τ) basis."""
+    phi = (1.0 + np.sqrt(5.0)) / 2.0
+    N = np.zeros((2, 2, 2), int)
+    N[0, 0, 0] = N[0, 1, 1] = N[1, 0, 1] = 1
+    N[1, 1, 0] = N[1, 1, 1] = 1
+    F = _fill_trivial_F(N)
+    F[1, 1, 1, 1] = np.array([[1 / phi, 1 / np.sqrt(phi)],
+                              [1 / np.sqrt(phi), -1 / phi]])
+    return FusionCategory("Fibonacci", ("1", "tau"),
+                          np.array([1.0, phi]), N, F, (0, 1))
+
+
+def ising_category() -> FusionCategory:
+    """Sectors (1, σ, ψ); σ⊗σ = 1 ⊕ ψ, σ⊗ψ = σ, ψ⊗ψ = 1; d_σ = √2.
+    Nontrivial associators: [F^{σσσ}_σ] = H/√2 on (1, ψ), and
+    [F^{σψσ}_1]? — the standard gauge has [F^{ψσψ}_σ] = [F^{σψσ}_{..}]
+    sign −1 on the ψ-threading blocks."""
+    N = np.zeros((3, 3, 3), int)
+    for a in range(3):
+        N[0, a, a] = N[a, 0, a] = 1
+    N[1, 1, 0] = N[1, 1, 2] = 1        # σσ = 1 + ψ
+    N[1, 2, 1] = N[2, 1, 1] = 1        # σψ = ψσ = σ
+    N[2, 2, 0] = 1                     # ψψ = 1
+    F = _fill_trivial_F(N)
+    s = 1.0 / np.sqrt(2.0)
+    # [F^{σσσ}_σ]_{e f}, e,f ∈ {1, ψ} = {0, 2}
+    F[1, 1, 1, 1] = 0.0
+    F[1, 1, 1, 1, 0, 0] = s
+    F[1, 1, 1, 1, 0, 2] = s
+    F[1, 1, 1, 1, 2, 0] = s
+    F[1, 1, 1, 1, 2, 2] = -s
+    # ψ threading through σ: [F^{ψσψ}_σ] = [F^{σψσ}_ψ] = −1
+    F[2, 1, 2, 1, 1, 1] = -1.0
+    F[1, 2, 1, 2, 1, 1] = -1.0
+    return FusionCategory("Ising", ("1", "sigma", "psi"),
+                          np.array([1.0, np.sqrt(2.0), 1.0]), N, F,
+                          (0, 1, 2))
+
+
+def zn_category(nz: int) -> FusionCategory:
+    """Abelian Z_n: a⊗b = a+b mod n, all d = 1, trivial associator — the
+    degenerate anchor matching the masked abelian backend
+    (symmetry/charges.py)."""
+    N = np.zeros((nz, nz, nz), int)
+    for a in range(nz):
+        for b in range(nz):
+            N[a, b, (a + b) % nz] = 1
+    F = _fill_trivial_F(N)
+    return FusionCategory(f"Z{nz}", tuple(str(i) for i in range(nz)),
+                          np.ones(nz), N, F,
+                          tuple((-a) % nz for a in range(nz)))
+
+
+# ---------------------------------------------------------------------------
+# Masked-dense anyonic MPS helpers (generalizing symmetry/fibonacci.py)
+# ---------------------------------------------------------------------------
+
+def bond_labels(cat: FusionCategory, D: int,
+                sectors: Tuple[int, ...] | None = None) -> np.ndarray:
+    """Static sector labels for a dense bond of dimension D, split
+    proportionally to the quantum dimensions (the asymptotic fusion-path
+    count ratio — matches the reference's `virtual_space(D)` splitting).
+    Every listed sector gets ≥1 slot; slots are ordered by sector index."""
+    if sectors is None:
+        sectors = tuple(range(cat.n))
+    d = cat.qdim[list(sectors)]
+    raw = D * d / d.sum()
+    counts = np.maximum(1, np.round(raw).astype(int))
+    while counts.sum() > D:
+        counts[np.argmax(counts)] -= 1
+    while counts.sum() < D:
+        counts[np.argmax(raw - counts)] += 1
+    lab = np.concatenate([np.full(c, s, int)
+                          for s, c in zip(sectors, counts)])
+    return lab
+
+
+def chain_masks(cat: FusionCategory, x: int, labels: np.ndarray,
+                L: int = 1):
+    """(A_mask (L, D, n, D), C_mask (L, D, D)) for a boundary MPS over
+    chain anyon x in the fusion-path basis (physical index = height after
+    the site): A[l, p, r] is supported on p == label_r and
+    label_r ∈ label_l ⊗ x; C couples equal sectors."""
+    labels = np.asarray(labels, int)
+    D = labels.shape[0]
+    n = cat.n
+    adm = cat.N[:, x, :] > 0           # (a, b): b in a⊗x
+    A1 = (labels[None, None, :] == np.arange(n)[None, :, None]) \
+        & adm[np.ix_(labels, labels)][:, None, :]
+    C1 = labels[:, None] == labels[None, :]
+    A = np.broadcast_to(A1, (L,) + A1.shape).copy()
+    C = np.broadcast_to(C1, (L,) + C1.shape).copy()
+    return A, C
+
+
+def quantum_schmidt(cat: FusionCategory, labels: np.ndarray,
+                    C: np.ndarray) -> Dict[int, np.ndarray]:
+    """{sector: probabilities} of a block-diagonal gauge matrix C with the
+    quantum-trace normalization Σ_a d_a Σ_i p_{a,i} = 1."""
+    labels = np.asarray(labels, int)
+    C = np.asarray(C)
+    out, norm = {}, 0.0
+    for a in sorted(set(labels.tolist())):
+        idx = np.where(labels == a)[0]
+        s = np.linalg.svd(C[np.ix_(idx, idx)], compute_uv=False)
+        p = s * s
+        out[a] = p
+        norm += cat.qdim[a] * float(p.sum())
+    return {a: p / norm for a, p in out.items()}
+
+
+def quantum_entropy(cat: FusionCategory, labels: np.ndarray,
+                    C: np.ndarray) -> float:
+    """S = -Σ_a d_a Σ_i p_{a,i} log p_{a,i} (quantum trace — what the
+    reference's `entropy` computes for anyonic sectors)."""
+    probs = quantum_schmidt(cat, labels, C)
+    S = 0.0
+    for a, p in probs.items():
+        p = p[p > 1e-300]
+        S -= cat.qdim[a] * float(np.sum(p * np.log(p)))
+    return S
