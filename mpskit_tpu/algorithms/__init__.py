@@ -25,6 +25,7 @@ from .expval import expectation_value, infinite_temperature
 from .correlators import correlator
 from .toolbox import (
     entropy,
+    entropy_profile,
     entanglement_spectrum,
     calc_galerkin,
     transfer_spectrum,

@@ -48,6 +48,22 @@ def entropy(psi, bond: int = None):
     return -jnp.sum(safe_xlogx(p))
 
 
+def entropy_profile(psi: FiniteMPS):
+    """Entanglement entropy at every interior bond x = 1..L-1 of a finite
+    state (one left-to-right gauge pass; the Calabrese-Cardy input).
+    (Reference computes this per-bond via `entropy(psi, bond)`,
+    src/algorithms/toolbox.jl:2-5.)"""
+    out = []
+    p = psi
+    for x in range(1, psi.length):
+        p = p.move_center(x - 1)
+        C = p.bond_matrix()
+        S = jnp.linalg.svd(C, compute_uv=False)
+        q = (S / jnp.maximum(jnp.linalg.norm(S), 1e-30)) ** 2
+        out.append(-jnp.sum(safe_xlogx(q)))
+    return jnp.stack(out)
+
+
 def calc_galerkin(psi, H, envs=None):
     """Galerkin residual ||(1 - P_tangent) H_eff AC|| at the center site
     (reference src/algorithms/toolbox.jl:17-38)."""

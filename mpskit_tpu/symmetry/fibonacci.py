@@ -49,8 +49,15 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from .category import (
+    fibonacci_category, bond_labels as _cat_bond_labels,
+    chain_masks as _cat_chain_masks, quantum_schmidt as _cat_schmidt,
+    quantum_entropy as _cat_entropy,
+)
+
 PHI = (1.0 + np.sqrt(5.0)) / 2.0
 QDIMS = np.array([1.0, PHI])  # d_1, d_tau
+CATEGORY = fibonacci_category()
 # height-pair basis of the hard-hexagon MPO bond (y = upper path height,
 # x = height after the threaded horizontal tau): x in y (x) tau
 FIB_PAIRS = ((0, 1), (1, 0), (1, 1))
@@ -58,20 +65,17 @@ FIB_PAIRS = ((0, 1), (1, 0), (1, 1))
 
 def fib_allowed(a: int, b: int) -> bool:
     """b in a (x) tau: every height step is allowed except 1 -> 1."""
-    return not (a == 0 and b == 0)
+    return bool(CATEGORY.N[a, 1, b])
 
 
 def fibonacci_bond_labels(D: int) -> np.ndarray:
     """Static sector labels for a virtual bond of dense dimension D:
     n_tau/n_1 -> phi (the asymptotic fusion-path count ratio, matching the
     reference's `virtual_space(D)` which splits quantum dimension evenly:
-    examples/classic2d/1.hard-hexagon/main.jl:24-28). Vacuum slots first."""
-    n_tau = max(1, int(round(D * PHI / (1.0 + PHI))))
-    n_one = max(1, D - n_tau)
-    n_tau = D - n_one
-    lab = np.zeros(D, int)
-    lab[n_one:] = 1
-    return lab
+    examples/classic2d/1.hard-hexagon/main.jl:24-28). Vacuum slots first.
+
+    Delegates to the general fusion-category layer (symmetry/category.py)."""
+    return _cat_bond_labels(CATEGORY, D)
 
 
 def fibonacci_masks(labels: np.ndarray, L: int = 1):
@@ -80,16 +84,10 @@ def fibonacci_masks(labels: np.ndarray, L: int = 1):
     equal sector couple in C. The hard-hexagon boundary wants L=3 — the
     3-sublattice structure of the triangular lattice survives in the
     fusion-path basis (the reference's anyonic tensors quotient it; the
-    height representation does not)."""
-    D = labels.shape[0]
-    A1 = np.zeros((D, 2, D), bool)
-    for p in (0, 1):
-        A1[:, p, :] = (labels[None, :] == p) & \
-            ~((labels[:, None] == 0) & (labels[None, :] == 0))
-    C1 = labels[:, None] == labels[None, :]
-    A = np.broadcast_to(A1, (L,) + A1.shape).copy()
-    C = np.broadcast_to(C1, (L,) + C1.shape).copy()
-    return A, C
+    height representation does not).
+
+    Delegates to the general fusion-category layer (symmetry/category.py)."""
+    return _cat_chain_masks(CATEGORY, 1, labels, L)
 
 
 def fibonacci_env_mask(labels: np.ndarray) -> np.ndarray:
@@ -176,31 +174,18 @@ class FibonacciInfiniteMPS:
 
 def anyonic_schmidt(spsi: FibonacciInfiniteMPS):
     """{sector: probabilities p_{a,i}} with the quantum-trace normalization
-    sum_a d_a sum_i p_{a,i} = 1."""
-    C = np.asarray(spsi.state.C[0])
-    labels = np.asarray(spsi.labels, int)
-    out = {}
-    norm = 0.0
-    for a in (0, 1):
-        idx = np.where(labels == a)[0]
-        blk = C[np.ix_(idx, idx)]
-        s = np.linalg.svd(blk, compute_uv=False)
-        p = s * s
-        out[a] = p
-        norm += QDIMS[a] * float(p.sum())
-    return {a: p / norm for a, p in out.items()}
+    sum_a d_a sum_i p_{a,i} = 1 (general layer: category.quantum_schmidt)."""
+    return _cat_schmidt(CATEGORY, np.asarray(spsi.labels, int),
+                        np.asarray(spsi.state.C[0]))
 
 
 def anyonic_entropy(spsi: FibonacciInfiniteMPS) -> float:
     """Quantum-trace entanglement entropy S = -tr_q(rho log rho) =
     -sum_a d_a sum_i p_{a,i} log p_{a,i} (what the reference's `entropy`
-    computes for anyonic sectors via TensorKit block traces)."""
-    probs = anyonic_schmidt(spsi)
-    S = 0.0
-    for a, p in probs.items():
-        p = p[p > 1e-300]
-        S -= QDIMS[a] * float(np.sum(p * np.log(p)))
-    return S
+    computes for anyonic sectors via TensorKit block traces; general layer:
+    category.quantum_entropy)."""
+    return _cat_entropy(CATEGORY, np.asarray(spsi.labels, int),
+                        np.asarray(spsi.state.C[0]))
 
 
 def leading_boundary_fibonacci(spsi: FibonacciInfiniteMPS, O, alg=None):

@@ -188,8 +188,10 @@ def test_anyon_chain_dmrg_vs_path_ed(name, x, L, D):
         DMRG, find_groundstate_dmrg, expectation_value,
     )
 
+    from mpskit_tpu.models import golden_chain, ising_anyon_chain
+
     cat = CATS[name]()
-    H = cat.chain_mpo(x, 0)
+    H = golden_chain() if name == "fibonacci" else ising_anyon_chain()
     Hp, _ = cat.chain_hamiltonian_dense(x, 0, L, left=None)
     e_ref = float(np.linalg.eigvalsh(Hp)[0])
     psi = FiniteMPS.random(jax.random.PRNGKey(2), L, cat.n, D)
