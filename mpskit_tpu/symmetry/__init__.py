@@ -2,6 +2,10 @@ from .charges import (
     assign_bond_charges,
     charge_masks_finite,
     SymmetricFiniteMPS,
+    SymmetricInfiniteMPS,
+    find_groundstate_symmetric,
+    find_groundstate_symmetric_infinite,
+    find_groundstate_symmetric_dmrg2,
     sector_entanglement_spectrum,
 )
 from .fibonacci import (

@@ -114,3 +114,50 @@ def test_u1_infinite_vumps():
     mz = np.mean([complex(expval_infinite_local(spsi.state, Sz, i)).real
                   for i in range(2)])
     assert abs(mz) < 1e-6
+
+
+def test_u1_dmrg2_dynamic_sectors():
+    """Sector-resolved two-site DMRG discovers the sector allocation
+    dynamically (reference dmrg.jl:80-137 tsvd! over symmetric tensors)
+    and matches the sector-restricted ED energy."""
+    from mpskit_tpu.symmetry.charges import find_groundstate_symmetric_dmrg2
+    from mpskit_tpu.algorithms.dmrg2 import DMRG2
+
+    L, D = 10, 24
+    H = heisenberg_XXX(spin=0.5)
+    e_ref = _ed_sector_energy(H, L, 0)
+    spsi = SymmetricFiniteMPS.random(jax.random.PRNGKey(0), L, (1, -1), D,
+                                     total=0, dtype=jnp.float64)
+    spsi, envs, eps = find_groundstate_symmetric_dmrg2(
+        spsi, H, DMRG2(tol=1e-11, maxiter=20, verbosity=0))
+    E = float(np.real(np.asarray(expectation_value(spsi.state, H)).sum()))
+    assert abs(E - e_ref) < 1e-8
+    assert abs(_sz_total(spsi.state)) < 1e-9
+    # dynamic allocation: the singlet state splits the mid bond evenly
+    # between the +-1 sectors (odd bond of a spin-1/2 chain), with exactly
+    # sector-block-diagonal Schmidt matrices
+    lab = np.asarray(spsi.bond_charges[L // 2])
+    alloc = {int(q): int((lab == q).sum())
+             for q in sorted(set(lab.tolist())) if abs(q) < 10**5}
+    assert alloc[1] == alloc[-1] and alloc[1] >= 6
+    spec = sector_entanglement_spectrum(spsi, L // 2)
+    w1 = float(np.sum(spec[1] ** 2))
+    wm1 = float(np.sum(spec[-1] ** 2))
+    np.testing.assert_allclose(w1, wm1, rtol=1e-6)
+
+
+def test_u1_dmrg2_charged_sector():
+    """Two-site sector DMRG in the Sz_tot = 1 magnon sector."""
+    from mpskit_tpu.symmetry.charges import find_groundstate_symmetric_dmrg2
+    from mpskit_tpu.algorithms.dmrg2 import DMRG2
+
+    L, D = 8, 20
+    H = heisenberg_XXX(spin=0.5)
+    e_ref = _ed_sector_energy(H, L, 2)
+    spsi = SymmetricFiniteMPS.random(jax.random.PRNGKey(1), L, (1, -1), D,
+                                     total=2, dtype=jnp.float64)
+    spsi, envs, eps = find_groundstate_symmetric_dmrg2(
+        spsi, H, DMRG2(tol=1e-11, maxiter=20, verbosity=0))
+    E = float(np.real(np.asarray(expectation_value(spsi.state, H)).sum()))
+    assert abs(E - e_ref) < 1e-8
+    assert abs(_sz_total(spsi.state) - 1.0) < 1e-9
