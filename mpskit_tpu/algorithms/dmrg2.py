@@ -40,7 +40,7 @@ class DMRG2:
     finalize: Optional[Callable] = None
 
 
-@partial(jax.jit, static_argnums=(6, 7, 8))
+@partial(jax.jit, static_argnums=(6, 7, 8), donate_argnums=(0, 1, 2, 4))
 def _dmrg2_sweep(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
                  trscheme: TruncationScheme):
     L, D = ALs.shape[0], ALs.shape[1]
@@ -110,7 +110,9 @@ def find_groundstate_dmrg2(psi: FiniteMPS, H, alg: DMRG2 = DMRG2()):
     GRs = compute_right_envs(psi.ARs, Ws, right_boundary(w, D, psi.dtype))
 
     log = IterLog("DMRG2", alg.verbosity)
-    ALs, ARs, AC = psi.ALs, psi.ARs, psi.AC
+    # copies: the sweep donates its tensor args on TPU (see _dmrg_sweep)
+    ALs, ARs, AC = (jnp.array(x, copy=True)
+                    for x in (psi.ALs, psi.ARs, psi.AC))
     eps = 1.0
     lam_prev = None
     lam = jnp.zeros(())
@@ -122,7 +124,8 @@ def find_groundstate_dmrg2(psi: FiniteMPS, H, alg: DMRG2 = DMRG2()):
         psi = FiniteMPS(ALs, ARs, AC, 0)
         if alg.finalize is not None:
             psi = alg.finalize(it, psi, H) or psi
-            ALs, ARs, AC = psi.ALs, psi.ARs, psi.AC
+            ALs, ARs, AC = (jnp.array(x, copy=True)
+                            for x in (psi.ALs, psi.ARs, psi.AC))
         lam_f = float(jnp.real(lam))
         # convergence: energy stationarity + truncation error floor
         eps = abs(lam_f - lam_prev) if lam_prev is not None else 1.0

@@ -344,7 +344,9 @@ def find_groundstate_symmetric(spsi: SymmetricFiniteMPS, H, alg=None):
     w = Ws.shape[1]
     masks = jnp.asarray(spsi.masks)
     GRs = compute_right_envs(psi.ARs, Ws, right_boundary(w, D, psi.dtype))
-    ALs, ARs, AC = psi.ALs, psi.ARs, psi.AC
+    # copies: _dmrg_sweep donates its tensor args on TPU
+    ALs, ARs, AC = (jnp.array(x, copy=True)
+                    for x in (psi.ALs, psi.ARs, psi.AC))
     eps = 1.0
     for it in range(1, alg.maxiter + 1):
         inner_tol = updatetol(eps, it)
