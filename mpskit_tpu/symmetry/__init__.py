@@ -16,9 +16,15 @@ from .fibonacci import (
 )
 from .category import (
     FusionCategory,
+    BraidedCategory,
     fibonacci_category,
     ising_category,
     zn_category,
+    fibonacci_braided,
+    ising_braided,
+    zn_braided,
+    su2k_category,
+    su2k_braided,
     bond_labels,
     chain_masks,
     quantum_schmidt,

@@ -220,6 +220,104 @@ class FusionCategory:
         return MPOHamiltonian.from_local(O.astype(dtype), period=period)
 
 
+@dataclasses.dataclass(frozen=True)
+class BraidedCategory(FusionCategory):
+    """Fusion category + braiding: R-symbols ``R[a, b, c]`` = the phase
+    picked up when exchanging a and b fused to c (multiplicity-free, so
+    each R^{ab}_c is a scalar; zero on inadmissible triples).
+
+    The reference gets this data from TensorKit sector types
+    (`FibonacciAnyon`, `IsingAnyon`, `SU2Irrep` braiding, used through the
+    braiding tensor τ in @plansor contractions and `twist`); here it is
+    plain static data with numerical validators, feeding the topological
+    invariants (twists, S-matrix, chiral central charge) that classify the
+    anyon content of a chain.
+    """
+
+    R: np.ndarray = None        # (n, n, n) complex: R^{ab}_c
+
+    # -- validators -------------------------------------------------------
+
+    def check_hexagon(self, atol: float = 1e-12) -> None:
+        """Both hexagon equations (multiplicity-free form, Bonderson
+        thesis eq. 2.87 and its R→R⁻¹ mirror):
+
+          R^{ca}_e [F^{acb}_d]_{eg} R^{cb}_g
+              = Σ_f [F^{cab}_d]_{ef} R^{cf}_d [F^{abc}_d]_{fg}
+
+          (R^{ac}_e)⁻¹ [F^{acb}_d]_{eg} (R^{bc}_g)⁻¹
+              = Σ_f [F^{cab}_d]_{ef} (R^{fc}_d)⁻¹ [F^{abc}_d]_{fg}
+        """
+        n, F, R, N = self.n, self.F, self.R, self.N
+        for a, b, c, d in product(range(n), repeat=4):
+            for e in self.fuse(c, a):
+                if not N[e, b, d]:
+                    continue
+                for g in self.fuse(c, b):
+                    if not N[a, g, d]:
+                        continue
+                    lhs1 = R[c, a, e] * F[a, c, b, d][e, g] * R[c, b, g]
+                    lhs2 = (F[a, c, b, d][e, g]
+                            / (R[a, c, e] * R[b, c, g]))
+                    rhs1 = rhs2 = 0.0
+                    for f in self.fuse(a, b):
+                        if not N[c, f, d]:
+                            continue
+                        pre = F[c, a, b, d][e, f] * F[a, b, c, d][f, g]
+                        rhs1 += pre * R[c, f, d]
+                        rhs2 += pre / R[f, c, d]
+                    assert abs(lhs1 - rhs1) < atol, (
+                        "hexagon", (a, b, c, d, e, g), lhs1, rhs1)
+                    assert abs(lhs2 - rhs2) < atol, (
+                        "inverse hexagon", (a, b, c, d, e, g), lhs2, rhs2)
+
+    def check_ribbon(self, atol: float = 1e-12) -> None:
+        """Monodromy = twists: R^{ba}_c R^{ab}_c = θ_c / (θ_a θ_b)."""
+        th = self.twists()
+        for a, b in product(range(self.n), repeat=2):
+            for c in self.fuse(a, b):
+                lhs = self.R[b, a, c] * self.R[a, b, c]
+                rhs = th[c] / (th[a] * th[b])
+                assert abs(lhs - rhs) < atol, ((a, b, c), lhs, rhs)
+
+    # -- topological invariants -------------------------------------------
+
+    def twists(self) -> np.ndarray:
+        """Topological spins θ_a = e^{2πi h_a} = (1/d_a) Σ_c d_c R^{aa}_c."""
+        return np.array([
+            sum(self.qdim[c] * self.R[a, a, c] for c in self.fuse(a, a))
+            / self.qdim[a] for a in range(self.n)])
+
+    def s_matrix(self) -> np.ndarray:
+        """Modular S: S_ab = (1/D) Σ_c N[ā,b,c] d_c θ_c/(θ_a θ_b).
+        Unitary iff the braiding is non-degenerate (modular category)."""
+        th = self.twists()
+        S = np.zeros((self.n, self.n), complex)
+        for a, b in product(range(self.n), repeat=2):
+            for c in self.fuse(self.dual[a], b):
+                S[a, b] += self.qdim[c] * th[c] / (th[a] * th[b])
+        return S / self.total_qdim
+
+    def is_modular(self, atol: float = 1e-10) -> bool:
+        S = self.s_matrix()
+        return bool(np.max(np.abs(S @ S.conj().T - np.eye(self.n))) < atol)
+
+    def central_charge(self) -> float:
+        """Chiral central charge c mod 8 from the Gauss sum
+        Σ_a d_a² θ_a = D e^{2πi c/8}."""
+        gauss = np.sum(self.qdim ** 2 * self.twists())
+        return float(np.angle(gauss) * 4 / np.pi) % 8.0
+
+    def frobenius_schur(self, a: int) -> int:
+        """FS indicator ϰ_a = d_a [F^{a ā a}_a]_{0,0} ∈ {+1, −1} for
+        self-dual a (distinguishes e.g. Ising σ (+1) from su(2)₂ spin-½
+        (−1), which share fusion rules)."""
+        v = self.qdim[a] * self.F[a, self.dual[a], a, a][0, 0]
+        k = int(np.sign(np.real(v)))
+        assert abs(v - k) < 1e-10, "non-unimodular FS indicator"
+        return k
+
+
 # ---------------------------------------------------------------------------
 # Concrete categories
 # ---------------------------------------------------------------------------
@@ -292,6 +390,147 @@ def zn_category(nz: int) -> FusionCategory:
     return FusionCategory(f"Z{nz}", tuple(str(i) for i in range(nz)),
                           np.ones(nz), N, F,
                           tuple((-a) % nz for a in range(nz)))
+
+
+def _braid(cat: FusionCategory, R: np.ndarray, name=None) -> BraidedCategory:
+    return BraidedCategory(name or cat.name, cat.sectors, cat.qdim, cat.N,
+                           cat.F, cat.dual, np.asarray(R, complex))
+
+
+def fibonacci_braided() -> BraidedCategory:
+    """Fibonacci MTC: R^{ττ}_1 = e^{-4πi/5}, R^{ττ}_τ = e^{3πi/5}
+    (the chirality with θ_τ = e^{4πi/5}, h_τ = 2/5, c = 14/5)."""
+    cat = fibonacci_category()
+    R = np.zeros((2, 2, 2), complex)
+    for a, b in product(range(2), repeat=2):
+        for c in cat.fuse(a, b):
+            R[a, b, c] = 1.0
+    R[1, 1, 0] = np.exp(-4j * np.pi / 5)
+    R[1, 1, 1] = np.exp(3j * np.pi / 5)
+    return _braid(cat, R)
+
+
+def ising_braided() -> BraidedCategory:
+    """Ising MTC: R^{σσ}_1 = e^{-iπ/8}, R^{σσ}_ψ = e^{3iπ/8},
+    R^{σψ}_σ = R^{ψσ}_σ = -i, R^{ψψ}_1 = -1 (θ_σ = e^{iπ/8}, h_σ = 1/16,
+    c = 1/2 — the chiral Ising anyon content)."""
+    cat = ising_category()
+    R = np.zeros((3, 3, 3), complex)
+    for a, b in product(range(3), repeat=2):
+        for c in cat.fuse(a, b):
+            R[a, b, c] = 1.0
+    R[1, 1, 0] = np.exp(-1j * np.pi / 8)
+    R[1, 1, 2] = np.exp(3j * np.pi / 8)
+    R[1, 2, 1] = R[2, 1, 1] = -1j
+    R[2, 2, 0] = -1.0
+    return _braid(cat, R)
+
+
+def zn_braided(nz: int, p: int = 1) -> BraidedCategory:
+    """Z_n with the bilinear braiding R^{ab} = exp(2πi p·ab / n) (trivial
+    associator; hexagon holds since R^{c,a}R^{c,b} = R^{c,a+b}). Modular
+    iff gcd(2p, n)-degeneracy is absent (e.g. n odd, p coprime)."""
+    cat = zn_category(nz)
+    R = np.zeros((nz, nz, nz), complex)
+    for a, b in product(range(nz), repeat=2):
+        R[a, b, (a + b) % nz] = np.exp(2j * np.pi * p * a * b / nz)
+    return _braid(cat, R, name=f"Z{nz}(p={p})")
+
+
+# ---------------------------------------------------------------------------
+# su(2)_k — quantum-group fusion categories (quantum 6j F-symbols)
+# ---------------------------------------------------------------------------
+
+def _qint(m: int, k: int) -> float:
+    """Quantum integer [m]_q at q = e^{iπ/(k+2)}."""
+    t = np.pi / (k + 2)
+    return np.sin(m * t) / np.sin(t)
+
+
+def _qfact(m: int, k: int) -> float:
+    out = 1.0
+    for i in range(2, m + 1):
+        out *= _qint(i, k)
+    return out
+
+
+def su2k_category(k: int) -> FusionCategory:
+    """su(2)_k: sectors are twice-spins a = 2j ∈ {0..k}; fusion is the
+    truncated Clebsch-Gordan rule (triangle + a+b+c ≤ 2k); F-symbols are
+    quantum 6j symbols at q = e^{iπ/(k+2)} (Kirillov–Reshetikhin):
+
+      [F^{abc}_d]_{ef} = (-1)^{(a+b+c+d)/2} √([e+1][f+1]) {a/2 b/2 e/2;
+                                                           c/2 d/2 f/2}_q
+
+    k=1 reproduces the semion fusion ring (Z_2), k=2 the Ising fusion
+    ring (with FS indicator −1 on spin-½ — the su(2)₂ ↔ Ising
+    distinction), k=3 contains Fibonacci on its integer-spin subring.
+    Validated by the pentagon/unitarity checks in tests."""
+    n = k + 1
+    N = np.zeros((n, n, n), int)
+    for a, b in product(range(n), repeat=2):
+        for c in range(abs(a - b), min(a + b, 2 * k - a - b) + 1, 2):
+            N[a, b, c] = 1
+
+    def tri(a, b, c):
+        """Δ(abc) in twice-spin labels; arguments of the q-factorials are
+        integers when (a,b,c) is admissible."""
+        return np.sqrt(
+            _qfact((-a + b + c) // 2, k) * _qfact((a - b + c) // 2, k)
+            * _qfact((a + b - c) // 2, k)
+            / _qfact((a + b + c) // 2 + 1, k))
+
+    def sixj(a, b, e, c, d, f):
+        """{a/2 b/2 e/2; c/2 d/2 f/2}_q, twice-spin arguments; assumes all
+        four triads admissible."""
+        pre = tri(a, b, e) * tri(e, c, d) * tri(b, c, f) * tri(a, f, d)
+        t1, t2, t3, t4 = (a + b + e) // 2, (e + c + d) // 2, \
+            (b + c + f) // 2, (a + f + d) // 2
+        q1, q2, q3 = (a + b + c + d) // 2, (a + e + c + f) // 2, \
+            (b + e + d + f) // 2
+        tot = 0.0
+        for z in range(max(t1, t2, t3, t4), min(q1, q2, q3) + 1):
+            tot += ((-1.0) ** z * _qfact(z + 1, k)
+                    / (_qfact(z - t1, k) * _qfact(z - t2, k)
+                       * _qfact(z - t3, k) * _qfact(z - t4, k)
+                       * _qfact(q1 - z, k) * _qfact(q2 - z, k)
+                       * _qfact(q3 - z, k)))
+        return pre * tot
+
+    F = np.zeros((n, n, n, n, n, n))
+    for a, b, c, d in product(range(n), repeat=4):
+        for e in range(n):
+            if not (N[a, b, e] and N[e, c, d]):
+                continue
+            for f in range(n):
+                if not (N[b, c, f] and N[a, f, d]):
+                    continue
+                F[a, b, c, d, e, f] = (
+                    (-1.0) ** ((a + b + c + d) // 2)
+                    * np.sqrt(_qint(e + 1, k) * _qint(f + 1, k))
+                    * sixj(a, b, e, c, d, f))
+
+    qdim = np.array([_qint(a + 1, k) for a in range(n)])
+    return FusionCategory(f"su2_{k}", tuple(f"{a}/2" if a % 2 else str(a // 2)
+                                            for a in range(n)),
+                          qdim, N, F, tuple(range(n)))
+
+
+def su2k_braided(k: int) -> BraidedCategory:
+    """su(2)_k with the standard braiding
+    R^{ab}_c = (-1)^{(c-a-b)/2} q^{(c(c+2) - a(a+2) - b(b+2))/4},
+    q = e^{iπ/(k+2)} — twists θ_a = e^{2πi h_a}, h_a = j(j+1)/(k+2),
+    central charge 3k/(k+2) mod 8."""
+    cat = su2k_category(k)
+    n = k + 1
+    q = np.exp(1j * np.pi / (k + 2))
+    R = np.zeros((n, n, n), complex)
+    for a, b in product(range(n), repeat=2):
+        for c in cat.fuse(a, b):
+            R[a, b, c] = ((-1.0) ** ((c - a - b) // 2)
+                          * q ** ((c * (c + 2) - a * (a + 2)
+                                   - b * (b + 2)) / 4))
+    return _braid(cat, R)
 
 
 # ---------------------------------------------------------------------------

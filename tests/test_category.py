@@ -15,6 +15,8 @@ import pytest
 
 from mpskit_tpu.symmetry.category import (
     FusionCategory, fibonacci_category, ising_category, zn_category,
+    fibonacci_braided, ising_braided, zn_braided,
+    su2k_category, su2k_braided,
     bond_labels, chain_masks, quantum_schmidt, quantum_entropy,
 )
 
@@ -199,6 +201,107 @@ def test_anyon_chain_dmrg_vs_path_ed(name, x, L, D):
         psi, H, DMRG(tol=1e-9, maxiter=60))
     E = float(expectation_value(psi, H, envs=envs))
     assert abs(E - e_ref) < 1e-7, (E, e_ref)
+
+
+@pytest.mark.parametrize("k", [1, 2, 3, 4])
+def test_su2k_axioms(k):
+    """Quantum-6j F-symbols of su(2)_k satisfy pentagon + unitarity, with
+    the truncated Clebsch-Gordan fusion ring and d_a = [a+1]_q."""
+    cat = su2k_category(k)
+    cat.check_fusion()
+    cat.check_unitarity(atol=1e-10)
+    cat.check_pentagon(atol=1e-10)
+    t = np.pi / (k + 2)
+    np.testing.assert_allclose(
+        cat.qdim, [np.sin((a + 1) * t) / np.sin(t) for a in range(k + 1)],
+        atol=1e-14)
+
+
+BRAIDED = {
+    "fibonacci": fibonacci_braided,
+    "ising": ising_braided,
+    "z5": lambda: zn_braided(5),
+    "su2_2": lambda: su2k_braided(2),
+    "su2_3": lambda: su2k_braided(3),
+}
+
+
+@pytest.mark.parametrize("name", sorted(BRAIDED))
+def test_braiding_hexagon_and_ribbon(name):
+    """R-symbols satisfy both hexagon equations and the monodromy-twist
+    (ribbon) relation R^{ba}_c R^{ab}_c = θ_c/(θ_a θ_b)."""
+    cat = BRAIDED[name]()
+    cat.check_hexagon(atol=1e-10)
+    cat.check_ribbon(atol=1e-10)
+
+
+def test_hexagon_validator_has_teeth():
+    """A wrong R-phase must fail the hexagon equation."""
+    cat = fibonacci_braided()
+    R = cat.R.copy()
+    R[1, 1, 1] = np.exp(-3j * np.pi / 5)   # wrong chirality on one entry
+    bad = dataclasses.replace(cat, R=R)
+    with pytest.raises(AssertionError):
+        bad.check_hexagon()
+
+
+def test_topological_invariants():
+    """Twists, S-matrices, chiral central charges and Frobenius-Schur
+    indicators against the exact MTC data (Kitaev, Ann. Phys. 321 (2006),
+    tables; reference counterpart: TensorKit sector twists/braids)."""
+    phi = (1 + np.sqrt(5)) / 2
+
+    fib = fibonacci_braided()
+    np.testing.assert_allclose(
+        np.angle(fib.twists()) / (2 * np.pi) % 1, [0.0, 2 / 5], atol=1e-12)
+    np.testing.assert_allclose(
+        fib.s_matrix(), np.array([[1, phi], [phi, -1]]) / np.sqrt(2 + phi),
+        atol=1e-12)
+    np.testing.assert_allclose(fib.central_charge(), 14 / 5, atol=1e-10)
+    assert fib.is_modular()
+
+    isg = ising_braided()
+    np.testing.assert_allclose(
+        np.angle(isg.twists()) / (2 * np.pi) % 1, [0.0, 1 / 16, 1 / 2],
+        atol=1e-12)
+    s = np.sqrt(2.0)
+    np.testing.assert_allclose(
+        isg.s_matrix(),
+        np.array([[1, s, 1], [s, 0, -s], [1, -s, 1]]) / 2, atol=1e-12)
+    np.testing.assert_allclose(isg.central_charge(), 1 / 2, atol=1e-10)
+    assert isg.is_modular()
+
+    # su(2)_k: h_j = j(j+1)/(k+2), c = 3k/(k+2)
+    for k in (2, 3):
+        cat = su2k_braided(k)
+        hs = [a / 2 * (a / 2 + 1) / (k + 2) % 1 for a in range(k + 1)]
+        np.testing.assert_allclose(
+            np.angle(cat.twists()) / (2 * np.pi) % 1, hs, atol=1e-12)
+        np.testing.assert_allclose(
+            cat.central_charge(), 3 * k / (k + 2), atol=1e-10)
+        assert cat.is_modular()
+
+    # FS indicator distinguishes Ising sigma (+1) from su(2)_2 spin-1/2
+    # (-1) although the fusion rings coincide
+    assert isg.frobenius_schur(1) == +1
+    assert su2k_braided(2).frobenius_schur(1) == -1
+
+
+def test_su2k_chains_reduce_to_known_categories():
+    """Vacuum-anchored su(2)_3 chains of j=1 anyons are the golden chain
+    (heights stay on the integer subring ≅ Fibonacci); su(2)_2 chains of
+    spin-1/2 anyons have the Ising-anyon chain spectrum — F-gauge
+    differences (FS sign) drop out of the spectra."""
+    for L in (6, 8):
+        Hg, _ = su2k_category(3).chain_hamiltonian_dense(2, 0, L)
+        Hf, _ = fibonacci_category().chain_hamiltonian_dense(1, 0, L)
+        assert Hg.shape == Hf.shape
+        np.testing.assert_allclose(np.linalg.eigvalsh(Hg),
+                                   np.linalg.eigvalsh(Hf), atol=1e-12)
+        H2, _ = su2k_category(2).chain_hamiltonian_dense(1, 0, L)
+        Hi, _ = ising_category().chain_hamiltonian_dense(1, 0, L)
+        np.testing.assert_allclose(np.linalg.eigvalsh(H2),
+                                   np.linalg.eigvalsh(Hi), atol=1e-12)
 
 
 def test_zn_degenerate_case_matches_abelian_rules():
