@@ -15,4 +15,4 @@ from .fermions import kitaev_chain, free_fermions, hubbard
 from .statmech import (classical_ising, finite_classical_ising, sixvertex,
                        hard_hexagon, hard_hexagon_fibonacci)
 from .anyons import (golden_chain, ising_anyon_chain, anyon_chain,
-                     anyon_chain_finite)
+                     anyon_chain_finite, rsos_chain)

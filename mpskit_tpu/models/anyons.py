@@ -58,6 +58,24 @@ def anyon_chain(cat: FusionCategory, x: int, channel: int = 0,
                          dtype=dtype)
 
 
+def rsos_chain(k: int, J: float = 1.0, antiferro: bool = True,
+               period: int = 1, dtype=np.float64):
+    """su(2)_k spin-½ anyon chain (the quantum A_{k+1} RSOS chain):
+    heights walk the A_{k+1} Dynkin diagram, H = -J Σ P^{(channel)} with
+    the vacuum channel for `antiferro`. Critical points: AFM is the
+    unitary minimal model M(k+1, k+2), c = 1 - 6/((k+1)(k+2)); FM is the
+    Z_k parafermion CFT, c = 2(k-1)/(k+2) (Gils et al., PRB 87, 235120).
+    k=2 reproduces the Ising-anyon chain (critical TFIM), k=3 the golden
+    chain's spectra on the vacuum-anchored path sector.
+
+    Physical dimension k+1 (height a = 2j ∈ {0..k})."""
+    from ..symmetry.category import su2k_category
+
+    cat = su2k_category(k)
+    return cat.chain_mpo(1, 0 if antiferro else 2, coupling=-float(J),
+                         period=period, dtype=dtype)
+
+
 def _reachable(cat: FusionCategory, start: int, x: int, steps: int):
     """Sectors reachable from `start` by `steps` fusions with x."""
     cur = {start}

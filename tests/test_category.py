@@ -304,6 +304,28 @@ def test_su2k_chains_reduce_to_known_categories():
                                    np.linalg.eigvalsh(Hi), atol=1e-12)
 
 
+def test_rsos_chain_family():
+    """models.rsos_chain: k=2 has the Ising-anyon chain spectrum (the two
+    categories share the fusion ring; the FS-indicator gauge difference in
+    F drops out under conjugation); k=3 ground energy over the
+    unconstrained tensor basis matches the admissible-path ED (4-height
+    RSOS chain, L=5)."""
+    from mpskit_tpu.models import rsos_chain, ising_anyon_chain
+
+    L = 6
+    H2 = rsos_chain(2).to_matrix(L)
+    Hi = ising_anyon_chain().to_matrix(L)
+    np.testing.assert_allclose(np.linalg.eigvalsh(H2),
+                               np.linalg.eigvalsh(Hi), atol=1e-11)
+
+    L = 5
+    cat3 = su2k_category(3)
+    Hp, _ = cat3.chain_hamiltonian_dense(1, 0, L, left=None)
+    ev = np.linalg.eigvalsh(rsos_chain(3).to_matrix(L))
+    evp = np.linalg.eigvalsh(Hp)
+    np.testing.assert_allclose(ev[0], evp[0], atol=1e-10)
+
+
 def test_zn_degenerate_case_matches_abelian_rules():
     """Z_n as a fusion category: the chain mask over x=1 enforces exactly
     the abelian charge-increment rule label_r = label_l + 1 mod n."""
