@@ -70,6 +70,13 @@ from .algorithms.paramscan import (
     scan_groundstate_vumps, stack_hamiltonians, ScanResult,
 )
 
+# plotting recipes (reference utility/plotting.jl entanglementplot /
+# transferplot)
+from .utils.plotting import (
+    entanglement_plot, transfer_plot, entanglement_plot_data,
+    transfer_plot_data,
+)
+
 # abelian symmetry (charge-sector states)
 from .symmetry import (
     SymmetricFiniteMPS,
