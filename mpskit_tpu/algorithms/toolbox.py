@@ -146,9 +146,19 @@ def variance(psi, H, envs=None):
     """Energy variance <H^2> - <H>^2 for finite states (exact, via the MPO
     product); for infinite states the two-site tangent variance density
     (the standard Hubig-style local variance, cf. reference
-    toolbox.jl:136-179)."""
+    toolbox.jl:136-179). Finite quasiparticle states embed into a
+    FiniteMPS first (reference toolbox.jl:154-156); LazySum operators are
+    materialized (reference toolbox.jl:175-180)."""
     from .expval import expectation_value
+    from ..operators.lazysum import LazySum, MultipliedOperator
+    from ..states.quasiparticle import FiniteQP, qp_to_finitemps
 
+    if isinstance(H, LazySum):
+        return variance(psi, H.sum_materialized(), envs=None)
+    if isinstance(H, MultipliedOperator):
+        return variance(psi, H.eval_at(0.0), envs=None)
+    if isinstance(psi, FiniteQP):
+        return variance(qp_to_finitemps(psi), H)
     if isinstance(psi, FiniteMPS):
         H2 = H @ H
         e = expectation_value(psi, H)

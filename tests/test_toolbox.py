@@ -29,6 +29,27 @@ def test_variance_finite():
     assert abs(v) < 1e-7
 
 
+def test_variance_qp_and_lazysum():
+    """FiniteQP variance embeds into a FiniteMPS (reference
+    toolbox.jl:154-156); LazySum/Timed operators materialize (reference
+    toolbox.jl:175-180). At L=8, D=16 the MPS manifold is full-rank, so
+    the QP excited state is an exact eigenstate: variance ~ 0."""
+    from mpskit_tpu.algorithms import QuasiparticleAnsatz, excitations
+    from mpskit_tpu.operators.lazysum import LazySum, UntimedOperator
+
+    L, g, D = 8, 1.3, 16
+    H = transverse_field_ising(g=g)
+    psi = FiniteMPS.random(jax.random.PRNGKey(0), L, 2, D)
+    psi, envs, _ = find_groundstate_dmrg(psi, H, DMRG(tol=1e-10, maxiter=50))
+    es, qps = excitations(H, QuasiparticleAnsatz(tol=1e-8), psi, envs=envs)
+    assert abs(float(variance(qps[0], H))) < 1e-9
+
+    HL = LazySum([H, UntimedOperator(H, 0.5)])
+    v_lazy = float(variance(psi, HL))
+    v_direct = float(variance(psi, 1.5 * H))
+    assert abs(v_lazy - v_direct) < 1e-8
+
+
 def test_variance_infinite():
     g, D = 1.5, 12
     H = transverse_field_ising(g=g)
