@@ -27,6 +27,11 @@ from .category import (
     su2k_braided,
     bond_labels,
     chain_masks,
+    chain_bond_labels,
     quantum_schmidt,
     quantum_entropy,
+)
+from .anyonic import (
+    AnyonicInfiniteMPS,
+    find_groundstate_anyonic,
 )

@@ -562,17 +562,65 @@ def chain_masks(cat: FusionCategory, x: int, labels: np.ndarray,
     """(A_mask (L, D, n, D), C_mask (L, D, D)) for a boundary MPS over
     chain anyon x in the fusion-path basis (physical index = height after
     the site): A[l, p, r] is supported on p == label_r and
-    label_r ∈ label_l ⊗ x; C couples equal sectors."""
+    label_r ∈ label_l ⊗ x; C couples equal sectors.
+
+    `labels` may be (D,) — one static sector split shared by every bond —
+    or (L, D) — **per-bond labels**, `labels[i]` labeling the bond to the
+    RIGHT of site i (needed whenever the fusion graph of x is bipartite/
+    k-partite, e.g. the Ising σ chain where heights alternate {1,ψ} / σ,
+    so no uniform split exists)."""
     labels = np.asarray(labels, int)
-    D = labels.shape[0]
     n = cat.n
     adm = cat.N[:, x, :] > 0           # (a, b): b in a⊗x
-    A1 = (labels[None, None, :] == np.arange(n)[None, :, None]) \
-        & adm[np.ix_(labels, labels)][:, None, :]
-    C1 = labels[:, None] == labels[None, :]
-    A = np.broadcast_to(A1, (L,) + A1.shape).copy()
-    C = np.broadcast_to(C1, (L,) + C1.shape).copy()
+    if labels.ndim == 1:
+        labels = np.broadcast_to(labels, (L, labels.shape[0]))
+    assert labels.shape[0] == L, (labels.shape, L)
+    D = labels.shape[1]
+    A = np.zeros((L, D, n, D), bool)
+    C = np.zeros((L, D, D), bool)
+    for i in range(L):
+        left, right = labels[i - 1], labels[i]
+        A[i] = (right[None, None, :] == np.arange(n)[None, :, None]) \
+            & adm[np.ix_(left, right)][:, None, :]
+        C[i] = right[:, None] == right[None, :]
     return A, C
+
+
+def chain_bond_labels(cat: FusionCategory, x: int, D: int, L: int,
+                      seed: Tuple[int, ...] | None = None) -> np.ndarray:
+    """Per-bond static sector labels (L, D) for a period-L chain of anyons
+    x: the allowed sector set of each bond is propagated around the unit
+    cell (S_{i+1} = ∪_{a∈S_i} a⊗x) until periodic, then each bond's D
+    slots are split among its allowed sectors by quantum dimension
+    (`bond_labels`). `seed` fixes bond 0's sector set (default: the
+    limit-cycle set reached from all sectors — the stationary support).
+
+    Raises if no period-L-consistent assignment exists (e.g. odd L for a
+    bipartite fusion graph like the Ising σ chain)."""
+    step = lambda S: frozenset(
+        c for a in S for c in cat.fuse(a, x))
+    if seed is None:
+        S = frozenset(range(cat.n))
+        for _ in range(4 * cat.n + 4 * L):
+            S = step(S)
+    else:
+        S = frozenset(int(a) for a in seed)
+    # roll S forward until the L-step map returns to it (limit cycle)
+    for _ in range(4 * cat.n + 4 * L):
+        SL = S
+        for _ in range(L):
+            SL = step(SL)
+        if SL == S:
+            break
+        S = step(S)
+    else:
+        raise ValueError(
+            f"no period-{L} bond-sector assignment for anyon {x}")
+    out = []
+    for _ in range(L):
+        S = step(S)                    # bond i sits AFTER site i
+        out.append(bond_labels(cat, D, tuple(sorted(S))))
+    return np.stack(out)
 
 
 def quantum_schmidt(cat: FusionCategory, labels: np.ndarray,
