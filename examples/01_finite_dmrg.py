@@ -1,6 +1,9 @@
 """Finite-chain ground state with DMRG (counterpart of the reference's
 README quickstart): transverse-field Ising, energy, entanglement."""
 
+import sys as _sys, pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import jax
 import mpskit_tpu as mk
 

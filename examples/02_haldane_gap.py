@@ -2,6 +2,9 @@
 gap from the quasiparticle ansatz at momentum pi (counterpart of the
 reference's docs/examples quantum1d demos)."""
 
+import sys as _sys, pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 import jax
 import mpskit_tpu as mk

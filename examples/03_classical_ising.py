@@ -2,6 +2,9 @@
 fixed point with leading_boundary (counterpart of the reference's
 classic2d examples)."""
 
+import sys as _sys, pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import jax
 import mpskit_tpu as mk
 from mpskit_tpu.models.statmech import classical_ising

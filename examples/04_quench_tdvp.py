@@ -1,6 +1,9 @@
 """Global quench dynamics with TDVP: prepare the TFIM ground state at g0,
 quench to g1, track energy and entanglement growth."""
 
+import sys as _sys, pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import numpy as np
 import jax
 import mpskit_tpu as mk

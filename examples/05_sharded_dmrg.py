@@ -3,6 +3,9 @@ the MPS span all devices, XLA inserts the ICI collectives inside every
 Krylov matvec. Run with real TPUs or
 XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu."""
 
+import sys as _sys, pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import jax
 import jax.numpy as jnp
 import numpy as np

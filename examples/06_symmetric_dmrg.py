@@ -1,6 +1,9 @@
 """Charge-sector DMRG with the abelian symmetric backend: Heisenberg chain
 in fixed total-Sz sectors, with sector-resolved entanglement."""
 
+import sys as _sys, pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import jax
 import numpy as np
 import mpskit_tpu as mk

@@ -7,6 +7,9 @@ boundary environments, and grown mid-evolution so the light cone never
 reaches the edges.
 """
 
+import sys as _sys, pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import jax
 import jax.numpy as jnp
 

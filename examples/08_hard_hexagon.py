@@ -16,6 +16,9 @@ triple of transfer channels.
 Run: JAX_PLATFORMS=cpu python examples/08_hard_hexagon.py
 """
 
+import sys as _sys, pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

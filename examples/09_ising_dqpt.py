@@ -13,6 +13,9 @@ this quench. Two-site TDVP grows the bond dimension on the fly.
 Run: JAX_PLATFORMS=cpu python examples/09_ising_dqpt.py
 """
 
+import sys as _sys, pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

@@ -13,6 +13,9 @@ the two SPT fingerprints:
 Run: JAX_PLATFORMS=cpu python examples/10_haldane_spt.py
 """
 
+import sys as _sys, pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

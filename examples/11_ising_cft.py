@@ -12,6 +12,9 @@ which reproduce the Ising CFT scaling dimensions {0, 1/8, 1, 9/8, ...}.
 Run: JAX_PLATFORMS=cpu python examples/11_ising_cft.py   (from the repo root)
 """
 
+import sys as _sys, pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

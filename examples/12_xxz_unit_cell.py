@@ -10,6 +10,9 @@ e = 1/4 - ln 2 = -0.443147... per site (in S.S units).
 Run: JAX_PLATFORMS=cpu python examples/12_xxz_unit_cell.py
 """
 
+import sys as _sys, pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

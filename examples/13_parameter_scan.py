@@ -11,6 +11,9 @@ Produces: energy density e(g) vs the exact integral, and the
 ferromagnetic order parameter <Z>(g) showing the transition at g = 1.
 """
 
+import sys as _sys, pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)

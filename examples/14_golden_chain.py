@@ -30,6 +30,9 @@ is clean already at N = 18.
 Run: JAX_PLATFORMS=cpu python examples/14_golden_chain.py
 """
 
+import sys as _sys, pathlib as _pathlib
+_sys.path.insert(0, str(_pathlib.Path(__file__).resolve().parent.parent))
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
