@@ -159,6 +159,42 @@ def variance(psi, H, envs=None):
         return variance(psi, H.eval_at(0.0), envs=None)
     if isinstance(psi, FiniteQP):
         return variance(qp_to_finitemps(psi), H)
+    from ..states.windowmps import WindowMPS
+
+    if isinstance(psi, WindowMPS):
+        # Hubig-style two-site tangent variance summed over the window,
+        # with the boundary environments seeded from the infinite sides
+        # (reference toolbox.jl:147-153 window variance)
+        from ..environments.finite import compute_right_envs, stack_W
+        from ..tensors.ops import leftorth, leftnull, rightnull
+        from ..transfermatrix.transfer import transfer_left_mpo
+        from .derivatives import ac2_apply
+
+        win = psi.window.move_center(0)
+        L = win.length
+        Ws = stack_W(H, L).astype(win.dtype)
+        GL0, GRL = psi.boundary_envs(H)
+        # GLs[i] = left of site i (recomputed from the AL stack once the
+        # center has passed; here we walk the center ourselves and only
+        # use GLs[i] at the step where sites < i are AL-gauged)
+        GRs = compute_right_envs(win.ARs, Ws, GRL)
+        total = 0.0
+        psi_c = win
+        GL = GL0
+        for i in range(L - 1):
+            AC = psi_c.AC
+            theta = jnp.einsum("lpm,mqr->lpqr", AC, psi_c.ARs[i + 1])
+            h2 = ac2_apply(GL, Ws[i], Ws[i + 1], GRs[i + 2], theta)
+            ALi, _ = leftorth(AC)
+            VL = leftnull(ALi)
+            VR = rightnull(psi_c.ARs[i + 1])
+            M = jnp.einsum("lpk,lpqr,mqr->km", VL.conj(), h2, VR.conj())
+            total = total + jnp.sum(jnp.abs(M) ** 2)
+            if i < L - 2:
+                psi_c = psi_c.move_center(i + 1)
+                GL = transfer_left_mpo(GL, Ws[i], psi_c.ALs[i],
+                                       psi_c.ALs[i])
+        return jnp.real(total)
     if isinstance(psi, FiniteMPS):
         H2 = H @ H
         e = expectation_value(psi, H)

@@ -50,6 +50,31 @@ def test_variance_qp_and_lazysum():
     assert abs(v_lazy - v_direct) < 1e-8
 
 
+def test_variance_window():
+    """WindowMPS variance (reference toolbox.jl:147-153): the two-site
+    tangent variance over the window with infinite-side boundary
+    environments. A stationary window carved from a converged infinite
+    ground state has variance ~ 0; perturbing the window raises it."""
+    from mpskit_tpu.states import WindowMPS
+    import dataclasses
+
+    g, D, L = 1.4, 12, 8
+    H = transverse_field_ising(g=g)
+    psi = InfiniteMPS.random(jax.random.PRNGKey(1), 1, 2, D)
+    psi, envs, _ = find_groundstate_vumps(psi, H,
+                                          VUMPS(tol=1e-9, maxiter=150))
+    win = WindowMPS.from_infinite(psi, L=L)
+    v0 = float(variance(win, H))
+    assert v0 < 1e-8
+
+    AC = win.window.AC + 0.05 * jax.random.normal(
+        jax.random.PRNGKey(2), win.window.AC.shape, win.window.dtype)
+    AC = AC / jnp.linalg.norm(AC)
+    win2 = dataclasses.replace(win, window=dataclasses.replace(
+        win.window, AC=AC))
+    assert float(variance(win2, H)) > 1e-4
+
+
 def test_variance_infinite():
     g, D = 1.5, 12
     H = transverse_field_ising(g=g)
