@@ -21,6 +21,10 @@ def entanglement_spectrum(psi, bond: int = None):
     """Schmidt values across `bond` (to the right of site bond-1 for finite
     states; defaults to the middle bond / after-center bond).
     (Reference src/algorithms/toolbox.jl:65-69.)"""
+    from ..states.windowmps import WindowMPS
+
+    if isinstance(psi, WindowMPS):
+        psi = psi.window
     if isinstance(psi, FiniteMPS):
         if bond is None:
             bond = psi.length // 2
