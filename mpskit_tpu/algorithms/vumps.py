@@ -52,7 +52,16 @@ def _vumps_iteration(psi: InfiniteMPS, H, m: int, restarts: int,
                                     env_init=env_guess)
     Ws = jnp.stack([H.site(i) for i in range(L)]).astype(psi.dtype)
 
-    # batched local eigensolves over the unit cell (site-parallel, P1)
+    # batched local eigensolves over the unit cell (site-parallel, P1).
+    # Sector masks are applied AFTER the solves (project-then-regauge):
+    # solving in the masked subspace (P H P matvec) was tried and
+    # REJECTED — it decouples the AC and C solutions enough that the
+    # masked regauge oscillates (σ-chain energy bounced ±0.1 with the
+    # gauge residual pinned at ~1e-12), while post-masking converges to
+    # the exact σ-chain energy. Post-masking is exact whenever the local
+    # ground vector is sector-pure (abelian charges, k-partite anyonic
+    # chains); see symmetry/anyonic.py's scope note for the
+    # uniform-sector caveat.
     def solve_ac(GL, W, GR, AC):
         # no matvec_fast: at D=256 the matvecs are cheap and the forced
         # second restart offsets the bf16 savings (measured 59.8 vs 58.5 ms)
