@@ -76,6 +76,53 @@ def test_serialize_roundtrip(tmp_path):
     np.testing.assert_allclose(np.asarray(ipsi.AL), np.asarray(ipsi2.AL))
 
 
+def test_serialize_all_containers(tmp_path):
+    """Checkpoint roundtrips for every supported container: WindowMPS,
+    MPSMultiline, LeftGaugedQP, Symmetric{Finite,Infinite}MPS, and
+    AnyonicInfiniteMPS (category rebuilt by name)."""
+    import mpskit_tpu as mk
+    from mpskit_tpu.states.quasiparticle import LeftGaugedQP, null_spaces
+    from mpskit_tpu.symmetry import SymmetricInfiniteMPS, AnyonicInfiniteMPS
+    from mpskit_tpu.symmetry.category import ising_category
+
+    ipsi = InfiniteMPS.random(jax.random.PRNGKey(0), 2, 2, 6)
+
+    def roundtrip(name, psi):
+        p = str(tmp_path / f"{name}.npz")
+        save_state(p, psi)
+        out = load_state(p)
+        assert type(out).__name__ == type(psi).__name__
+        la, _ = jax.tree_util.tree_flatten(getattr(psi, "state", psi))
+        lb, _ = jax.tree_util.tree_flatten(getattr(out, "state", out))
+        for a, b in zip(la, lb):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        return out
+
+    roundtrip("win", mk.WindowMPS.from_infinite(ipsi, L=4))
+    roundtrip("ml", mk.MPSMultiline((ipsi, ipsi)))
+
+    VLs = null_spaces(ipsi.AL)
+    qp = LeftGaugedQP(jnp.zeros((2, VLs.shape[-1], 6), ipsi.dtype), VLs,
+                      ipsi, ipsi, jnp.asarray(0.5), True)
+    qp2 = roundtrip("qp", qp)
+    assert float(qp2.momentum) == 0.5 and qp2.trivial is True
+
+    s = mk.SymmetricFiniteMPS.random(jax.random.PRNGKey(2), 6, (1, -1), 8)
+    s2 = roundtrip("symf", s)
+    assert s2.phys_charges == s.phys_charges
+    for a, b in zip(s.bond_charges, s2.bond_charges):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
+    roundtrip("symi",
+              SymmetricInfiniteMPS.random(jax.random.PRNGKey(3), 2,
+                                          (1, -1), 8))
+
+    an = AnyonicInfiniteMPS.random(jax.random.PRNGKey(4), ising_category(),
+                                   1, D=8, L=2, seed=(1,))
+    an2 = roundtrip("anyon", an)
+    assert an2.labels == an.labels and an2.cat.name == "Ising"
+    assert an2.anyon == 1
+
+
 def test_unconverged_solver_warning(caplog):
     """A deliberately under-iterated DMRG (tiny Krylov space, one restart)
     must surface the inner eigensolves' non-convergence as a warning —
