@@ -44,6 +44,35 @@ def test_svdcut_infinite():
     assert abs(e - tfim_exact_density(g)) < 1e-6
 
 
+def test_regressions_expand_entropy_and_unitcells():
+    """Counterparts of the reference's old-bug regressions
+    (reference test/other.jl:21-51): (a) entanglement entropy after
+    RandExpand must not be NaN (the freshly padded Schmidt directions
+    carry exact zeros — safe_xlogx territory); (b) changebonds on a
+    period-3 unit cell returns a normalized InfiniteMPS."""
+    from mpskit_tpu.algorithms.toolbox import entropy
+    from mpskit_tpu.algorithms.changebonds import RandExpand, OptimalExpand
+
+    psi = InfiniteMPS.random(jax.random.PRNGKey(6), 1, 2, 5)
+    grown = changebonds(psi, RandExpand(dims=2))
+    for bond in (0,):
+        S = float(entropy(grown, bond))
+        assert not np.isnan(S)
+
+    psi3 = InfiniteMPS.random(jax.random.PRNGKey(7), 3, 2, 4)
+    H3 = transverse_field_ising(g=1.2, period=3)
+    for grown in (changebonds(psi3, H3, OptimalExpand(dims=2)),
+                  changebonds(psi3, RandExpand(dims=2))):
+        assert grown.period == 3
+        S = float(entropy(grown, 1))
+        assert not np.isnan(S)
+        # normalized: every AL stays an exact isometry after expansion
+        for i in range(3):
+            G = jnp.einsum("lpm,lpn->mn", grown.AL[i].conj(), grown.AL[i])
+            np.testing.assert_allclose(np.asarray(G),
+                                       np.eye(grown.D), atol=1e-10)
+
+
 @pytest.mark.slow
 def test_expand_infinite():
     g = 1.5
