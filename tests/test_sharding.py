@@ -135,6 +135,35 @@ def test_sharded_vumps_iteration_site_bond_mesh():
         (psi_out.AL, psi_out.AR, psi_out.AC, psi_out.C), atol=1e-8)
 
 
+def test_sharded_tdvp_step_bond_mesh():
+    """One finite TDVP timestep on the P(bond=8) mesh equals the
+    unsharded step: same evolved state up to global phase (physics:
+    time evolution is layout-independent)."""
+    from mpskit_tpu.algorithms.tdvp import _timestep_finite
+
+    L, D, g, dt = 8, 16, 1.3, 0.05
+    H = transverse_field_ising(g=g)
+    psi = FiniteMPS.random(jax.random.PRNGKey(3), L, 2, D,
+                           dtype=jnp.complex128)
+    Ws = stack_W(H, L).astype(psi.dtype)
+    GRs = compute_right_envs(psi.ARs, Ws,
+                             right_boundary(Ws.shape[1], D, psi.dtype))
+
+    def run(p, Wr, Gr):
+        out = _timestep_finite(p.ALs, p.ARs, p.AC, Wr, Gr, 20, dt)
+        ALs, ARs, AC = out[0], out[1], out[2]
+        gather = lambda x: jnp.asarray(np.asarray(x))
+        return FiniteMPS(gather(ALs), gather(ARs), gather(AC), 0)
+
+    ref = run(psi, Ws, GRs)
+    mesh = make_mesh(bond=8)
+    out = run(shard_finite_mps(psi, mesh), replicate(Ws, mesh),
+              shard_env(GRs, mesh))
+    fid = abs(complex(ref.dot(out))) / (float(ref.norm()) *
+                                        float(out.norm()))
+    np.testing.assert_allclose(fid, 1.0, atol=1e-10)
+
+
 def test_sharded_dmrg_full_convergence():
     """Full sharded DMRG groundstate run hits the same energy as ED."""
     from mpskit_tpu.algorithms import DMRG, find_groundstate_dmrg, expectation_value
