@@ -216,3 +216,28 @@ def test_string_correlator_vs_ed():
         O = np.kron(O, o)
     ref = v0.conj() @ O @ v0
     np.testing.assert_allclose(val, ref, atol=1e-8)
+
+
+def test_plot_smoke(tmp_path):
+    """Plot recipes render (counterpart of reference test/other.jl:15-19
+    plot tests): data functions return finite arrays; matplotlib
+    renderers produce axes on the Agg backend."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from mpskit_tpu.utils.plotting import (
+        entanglement_plot, transfer_plot, entanglement_plot_data,
+        transfer_plot_data,
+    )
+
+    psi = InfiniteMPS.random(jax.random.PRNGKey(11), 1, 2, 6)
+    S = entanglement_plot_data(psi)
+    assert S.ndim == 1 and np.all(np.isfinite(S)) and np.all(S[:-1] >= S[1:])
+    theta, r = transfer_plot_data(psi, num=4)
+    assert np.all(np.isfinite(theta)) and np.all(r <= 1.0 + 1e-9)
+
+    ax1 = entanglement_plot(psi)
+    ax2 = transfer_plot(psi, num=4)
+    assert ax1 is not None and ax2 is not None
+
+    fpsi = FiniteMPS.random(jax.random.PRNGKey(12), 6, 2, 8)
+    assert entanglement_plot_data(fpsi, 3).ndim == 1
