@@ -26,6 +26,7 @@ from __future__ import annotations
 import dataclasses
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 
 
@@ -188,6 +189,59 @@ def notrunc() -> TruncationScheme:
     return TruncationScheme()
 
 
+def _svd_via_gram(M):
+    """SVD through an eigendecomposition of the smaller Gram matrix, with
+    QR re-orthonormalization of the reconstructed side.
+
+    TPU-f32 WORKAROUND: XLA's TPU compiler SIGABRTs (TransposeFolding
+    'Check failed: buffer != nullptr') when a float32 `jnp.linalg.svd`
+    shares one lax.scan body with the Lanczos while_loop — the two-site
+    sweep pattern of DMRG2/IDMRG2/TDVP2/FitDMRG2. The Gram route only
+    uses eigh + matmuls + QR, which compile fine. Accuracy: singular
+    values below ~sqrt(eps)·S0 lose relative precision (their weights
+    are O(eps) anyway at f32 truncation quality); the reconstructed
+    side's junk columns (S ~ eps·S0) are re-orthonormalized by QR so
+    downstream isometry pushes stay exact."""
+    m, n = M.shape
+    if n > m:
+        # M^H = Ut S Vht  =>  M = Vht^H S Ut^H
+        Ut, S, Vht = _svd_via_gram(M.conj().T)
+        return Vht.conj().T, S, Ut.conj().T
+
+    # decomposition-critical path: run ALL matmuls (including those
+    # inside eigh's Jacobi iteration and QR) at full f32 precision,
+    # independent of the ambient matmul_precision context — with the
+    # default one-pass-bf16 the eigenbasis is only ~1e-2 orthonormal
+    # (measured), which is fatal for a decomposition
+    with jax.default_matmul_precision("float32"):
+        G = M.conj().T @ M                  # (n, n), n <= m
+        # spectral shift: eigenvectors are exactly invariant under
+        # G -> G + cI, but the TPU (emulated-)f64 eigh returns NaNs on
+        # PSD matrices with a large near-zero eigenvalue cluster
+        # (measured on real two-site DMRG splits; plain f64
+        # jnp.linalg.svd NaNs on the same inputs). The shift moves the
+        # cluster away from zero; subtracting it afterwards costs
+        # ~eps·shift absolute accuracy on the small singular values —
+        # below the Gram route's intrinsic sqrt(eps)·S0 floor.
+        n_ = G.shape[0]
+        shift = 1e-3 * jnp.trace(G).real.astype(
+            jnp.zeros((), M.dtype).real.dtype) / n_
+        w, V = jnp.linalg.eigh(G + shift * jnp.eye(n_, dtype=G.dtype))
+        S = jnp.sqrt(jnp.maximum(w[::-1] - shift, 0.0))
+        V = V[:, ::-1]
+        floor = jnp.maximum(S[0], 1e-30) * 1e-6
+        U0 = (M @ V) / jnp.maximum(S, floor)[None, :]
+        # re-orthonormalize with regularized CholeskyQR2, NOT Householder:
+        # rank-deficient M has exactly-zero U0 columns, and the TPU
+        # Householder QR turns zero columns into NaNs (measured — that,
+        # not the SVD itself, was the two-site f64 NaN). CholeskyQR2's
+        # Tikhonov jitter keeps zero columns at exactly zero, which is
+        # what downstream wants (zero singular weight, zero isometry
+        # column).
+        U, _ = cholesky_qr2(U0)
+    return U, S, V.conj().T
+
+
 def svd_truncated(M, Dmax: int, trunc: TruncationScheme = TruncationScheme()):
     """SVD of M (m, n) truncated/padded to static width Dmax.
 
@@ -195,8 +249,17 @@ def svd_truncated(M, Dmax: int, trunc: TruncationScheme = TruncationScheme()):
     expressed by zeros in S (and corresponding zero columns/rows in U/Vh so
     downstream contractions stay exact). `err` is the 2-norm truncation error
     sqrt(sum of discarded S^2) / norm.
+
+    On the TPU backend this routes through `_svd_via_gram` (see its
+    docstring): the direct `jnp.linalg.svd` SIGABRTs the TPU compiler in
+    f32 when it shares a scan body with the Lanczos while_loop, and the
+    same pattern silently MISCOMPILES to NaNs in (emulated) f64 —
+    measured on the two-site sweeps; the Gram route is correct in both.
     """
-    U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
+    if jax.default_backend() == "tpu":
+        U, S, Vh = _svd_via_gram(M)
+    else:
+        U, S, Vh = jnp.linalg.svd(M, full_matrices=False)
     k = S.shape[0]
 
     # static width: slice or pad to Dmax

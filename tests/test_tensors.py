@@ -101,3 +101,35 @@ def test_svd_truncated_dim():
     U, S, Vh, err = svd_truncated(M, 6, notrunc())
     assert U.shape == (12, 6) and S.shape == (6,) and Vh.shape == (6, 10)
     np.testing.assert_allclose(S, s[:6], rtol=1e-10)
+
+
+def test_svd_via_gram_matches_svd():
+    """The Gram-route SVD used on the TPU backend (tensors/ops.py
+    _svd_via_gram — works around TPU compiler SIGABRTs/NaNs on
+    Lanczos+SVD scan bodies): singular values, reconstruction, and
+    orthogonality match the LAPACK SVD, including rank-deficient inputs
+    with exactly-zero columns (dead columns come out exactly zero)."""
+    from mpskit_tpu.tensors.ops import _svd_via_gram
+
+    rng = np.random.default_rng(3)
+    for shape in ((40, 24), (24, 40), (32, 32)):
+        M = jnp.asarray(rng.normal(size=shape))
+        U, S, Vh = _svd_via_gram(M)
+        S_ref = np.linalg.svd(np.asarray(M), compute_uv=False)
+        k = min(shape)
+        np.testing.assert_allclose(np.asarray(S)[:k], S_ref, atol=1e-10)
+        rec = np.asarray(U) * np.asarray(S)[None, :] @ np.asarray(Vh)
+        np.testing.assert_allclose(rec, np.asarray(M), atol=1e-9)
+        Un = np.asarray(U)
+        np.testing.assert_allclose(Un.conj().T @ Un,
+                                   np.eye(Un.shape[1]), atol=1e-9)
+
+    # rank deficiency: 40x24 of rank 8, padded with exact zero columns
+    A = rng.normal(size=(40, 8))
+    M = jnp.asarray(np.concatenate([A, np.zeros((40, 16))], axis=1))
+    U, S, Vh = _svd_via_gram(M)
+    S_ref = np.linalg.svd(np.asarray(M), compute_uv=False)
+    np.testing.assert_allclose(np.asarray(S), S_ref, atol=1e-10)
+    assert not np.any(np.isnan(np.asarray(U)))
+    rec = np.asarray(U) * np.asarray(S)[None, :] @ np.asarray(Vh)
+    np.testing.assert_allclose(rec, np.asarray(M), atol=1e-9)
