@@ -35,3 +35,11 @@ from .anyonic import (
     AnyonicInfiniteMPS,
     find_groundstate_anyonic,
 )
+from .multiplicity import (
+    MultiplicityCategory,
+    BraidedMultiplicityCategory,
+    lift_braided,
+    rep_category,
+    rep_s3,
+    rep_a4,
+)
