@@ -35,6 +35,15 @@ from .anyonic import (
     AnyonicInfiniteMPS,
     find_groundstate_anyonic,
 )
+from .anyonic_finite import (
+    AnyonicFiniteMPS,
+    find_groundstate_anyonic_dmrg2,
+    find_groundstate_anyonic_idmrg2,
+    anyon_bond_labels_finite,
+    anyon_masks_finite,
+    anyon_theta_mask,
+    anyon_split,
+)
 from .multiplicity import (
     MultiplicityCategory,
     BraidedMultiplicityCategory,

@@ -37,20 +37,28 @@ sectors are exact). Consequently:
     the admissible-path sector is an exact invariant of the MPO either
     way.
 
-There is deliberately NO masked FINITE-DMRG counterpart. The masked
-manifold double-encodes the height h_i — as the physical index p_i AND
-as the sector of the bond right of site i — but a one-site MPO update
-only acts on p: the sector-projected local H_eff keeps exactly the
-height-diagonal terms, so a masked finite sweep freezes in a classical
-height configuration (measured: σ chain pins at E = -(L-2)·3/4 with all
-site solves "converged"). The abelian backend avoids this because its
-FSM levels carry the compensating charge offsets (`aux_charges`), making
-H_eff commute with the masks; the anyonic chain MPO's SVD-built FSM does
-not. The infinite driver escapes it because project-AFTER-solve plus
-fresh environments realign p against the bond sectors across iterations.
-A sector-resolved FSM construction would lift this; finite anyonic
-chains meanwhile run on the plain dense path (tests/test_category.py,
-examples/14) whose admissible-path sector is exactly invariant."""
+There is deliberately NO masked 1-SITE FINITE-DMRG counterpart. The
+masked manifold double-encodes the height h_i — as the physical index
+p_i AND as the sector of the bond right of site i — but a one-site MPO
+update only acts on p: the sector-projected local H_eff keeps exactly
+the height-diagonal terms, so a masked finite sweep freezes in a
+classical height configuration (measured: σ chain pins at
+E = -(L-2)·3/4 with all site solves "converged"). The abelian backend
+avoids this because its FSM levels carry the compensating charge
+offsets (`aux_charges`), making H_eff commute with the masks; the
+anyonic chain MPO's SVD-built FSM does not. The infinite 1-site driver
+escapes it because project-AFTER-solve plus fresh environments realign
+p against the bond sectors across iterations.
+
+TWO-site updates do not freeze: the middle bond of the window is
+re-created by the split, so the height and its bond sector change
+together. `symmetry/anyonic_finite.py` provides the sector-resolved
+finite DMRG2 and infinite IDMRG2 built on that observation (per-sector
+row-block SVDs with dynamic bond allocation — the true-anyonic-frame
+counterpart of the reference's symmetric `tsvd!`); use those for masked
+finite chains and for uniform-sector infinite chains. The plain dense
+path (tests/test_category.py, examples/14) remains available and its
+admissible-path sector is exactly invariant."""
 
 from __future__ import annotations
 

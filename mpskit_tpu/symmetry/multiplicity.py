@@ -102,6 +102,128 @@ class MultiplicityCategory:
                 M[i, j] = self.F[a, b, c, d, e, al, be, f, mu, nu]
         return M
 
+    # -- anyonic chains over the multiplicity tree basis -------------------
+
+    def chain_projector(self, x: int, channel: int) -> np.ndarray:
+        """Local projector onto fusion channel `channel` (ALL its vertex
+        copies) of two neighboring chain anyons x, over the multiplicity
+        tree basis — the N[a,b,c] > 1 generalization of
+        `FusionCategory.chain_projector` (Feiguin et al. construction):
+
+            P[a, d, (h,α,β), (h',α',β')] =
+                Σ_{μν} [F^{axx}_d]_{(h,α,β),(c,μ,ν)}
+                       [F^{axx}_d]*_{(h',α',β'),(c,μ,ν)}
+
+        with α ∈ N[a,x,h] the vertex multiplicity entering height h (the
+        physical multiplicity of the site) and β ∈ N[h,x,d] the one
+        leaving it (the NEXT site's physical multiplicity). Entries
+        vanish off the admissible support."""
+        col = self.F[:, x, x, :, :, :, :, channel, :, :]
+        # (a, d, h, α, β, μ, ν)
+        return np.einsum("adhxyuv,adkzwuv->adhxykzw", col, col.conj())
+
+    def chain_local_term(self, x: int, channel: int) -> np.ndarray:
+        """3-site local operator over the unconstrained (height,
+        multiplicity) tensor basis, physical dimension n·m per site
+        (site i carries q_i = (h_i, μ_i), μ_i the multiplicity of the
+        vertex h_{i-1} ⊗ x → h_i): diagonal in q_1 and in h_3, acting on
+        (h_2, μ_2, μ_3). Feed to `MPOHamiltonian.from_local`."""
+        n, m = self.n, self.mmax
+        P = self.chain_projector(x, channel)    # (a,d,h,α,β,h',α',β')
+        d = n * m
+        O = np.zeros((d, d, d, d, d, d), complex)
+        for a in range(n):
+            for mu1 in range(m):
+                q1 = a * m + mu1
+                for dd in range(n):
+                    for h in range(n):
+                        for al in range(m):
+                            for be in range(m):
+                                for h2 in range(n):
+                                    for al2 in range(m):
+                                        for be2 in range(m):
+                                            v = P[a, dd, h, al, be,
+                                                  h2, al2, be2]
+                                            if v == 0.0:
+                                                continue
+                                            O[q1, h * m + al, dd * m + be,
+                                              q1, h2 * m + al2,
+                                              dd * m + be2] = v
+        if np.max(np.abs(O.imag)) < 1e-12:
+            O = O.real.copy()
+        return O
+
+    def path_basis(self, x: int, L: int, left: int | None = 0,
+                   right: int | None = None) -> np.ndarray:
+        """Admissible (h_i, μ_i) sequences of a chain of L anyons x
+        (μ_i < N[h_{i-1}, x, h_i]); returns (n_paths, L, 2) int."""
+        N = self.N
+        if left is None:
+            starts = [(h, mu) for a in range(self.n)
+                      for h in range(self.n) for mu in range(N[a, x, h])]
+            starts = sorted(set(starts))
+        else:
+            starts = [(h, mu) for h in self.fuse(left, x)
+                      for mu in range(N[left, x, h])]
+        paths = [[s] for s in starts]
+        for _ in range(L - 1):
+            paths = [p + [(h, mu)] for p in paths
+                     for h in self.fuse(p[-1][0], x)
+                     for mu in range(N[p[-1][0], x, h])]
+        if right is not None:
+            paths = [p for p in paths if p[-1][0] == right]
+        return np.asarray(paths, int).reshape(-1, L, 2)
+
+    def chain_hamiltonian_dense(self, x: int, channel: int, L: int,
+                                coupling: float = -1.0,
+                                left: int | None = 0,
+                                right: int | None = None) -> tuple:
+        """Dense ED oracle over the admissible multiplicity-path basis:
+        H = coupling · Σ_{i=2}^{L-1} P^{(channel)}_i (windows fully
+        inside, matching `from_local`). Returns (H, paths)."""
+        paths = self.path_basis(x, L, left=left, right=right)
+        npz = len(paths)
+        index = {tuple(map(tuple, p)): i for i, p in enumerate(paths)}
+        P = self.chain_projector(x, channel)
+        H = np.zeros((npz, npz), P.dtype)
+        n, m = self.n, self.mmax
+        for i, p in enumerate(paths):
+            p = [tuple(q) for q in p]
+            for site in range(1, L - 1):
+                a = p[site - 1][0]
+                h, al = p[site]
+                d, be = p[site + 1]
+                for h2 in range(n):
+                    for al2 in range(m):
+                        for be2 in range(m):
+                            amp = P[a, d, h2, al2, be2, h, al, be]
+                            if amp == 0.0:
+                                continue
+                            q = list(p)
+                            q[site] = (h2, al2)
+                            q[site + 1] = (d, be2)
+                            j = index.get(tuple(q))
+                            if j is not None:
+                                H[j, i] += coupling * amp
+        if np.max(np.abs(H.imag)) < 1e-12:
+            H = H.real.copy()
+        return H, paths
+
+    def chain_mpo(self, x: int, channel: int, coupling: float = -1.0,
+                  period: int = 1, dtype=np.float64):
+        """`MPOHamiltonian` of the multiplicity anyonic chain over the
+        (height, multiplicity) tensor basis (physical dimension n·m):
+        H = coupling · Σ_i P^{(channel)}_i. The admissible-path sector
+        is invariant (F elements vanish off support)."""
+        from ..operators.mpo import MPOHamiltonian
+
+        O = coupling * self.chain_local_term(x, channel)
+        if np.iscomplexobj(O) and np.issubdtype(np.dtype(dtype),
+                                                np.floating):
+            assert np.max(np.abs(O.imag)) < 1e-12
+            O = O.real
+        return MPOHamiltonian.from_local(O.astype(dtype), period=period)
+
     # -- validators -------------------------------------------------------
 
     def check_fusion(self) -> None:
@@ -434,23 +556,28 @@ def _closure(gens):
     return sorted(elems)
 
 
-def rep_s3():
+def rep_s3(with_irreps: bool = False):
     """Rep(S₃): sectors (1, sign, std-2d); multiplicity-free
     (2⊗2 = 1 ⊕ 1' ⊕ 2) — the anchor case where the general machinery
-    must agree with the m=1 validators."""
+    must agree with the m=1 validators. `with_irreps=True` additionally
+    returns the explicit irrep matrices (for concrete-spin-chain
+    oracles)."""
     perms = _closure([(1, 0, 2), (1, 2, 0)])
     assert len(perms) == 6
     triv = np.ones((6, 1, 1))
     sign = np.array([[[np.linalg.det(_perm_matrix(p))]] for p in perms])
     std = _standard_rep(perms)
-    return rep_category("Rep(S3)", [triv, sign, std])
+    irreps = [triv, sign, std]
+    cat = rep_category("Rep(S3)", irreps)
+    return (cat, irreps) if with_irreps else cat
 
 
-def rep_a4():
+def rep_a4(with_irreps: bool = False):
     """Rep(A₄): sectors (1, 1', 1'', 3). The smallest genuinely
     multiplicity-bearing fusion category relevant here:
     3 ⊗ 3 = 1 ⊕ 1' ⊕ 1'' ⊕ 3 ⊕ 3, i.e. N[3,3,3] = 2, so F-blocks at
-    total charge 3 genuinely mix vertex multiplicity spaces."""
+    total charge 3 genuinely mix vertex multiplicity spaces.
+    `with_irreps=True` additionally returns the irrep matrices."""
     gens = [(1, 0, 3, 2), (1, 2, 0, 3)]
     perms = _closure(gens)
     assert len(perms) == 12
@@ -473,4 +600,6 @@ def rep_a4():
     om1 = np.array([[[w ** coset(p)]] for p in perms])
     om2 = np.array([[[w ** (2 * coset(p))]] for p in perms])
     std = _standard_rep(perms)
-    return rep_category("Rep(A4)", [triv, om1, om2, std])
+    irreps = [triv, om1, om2, std]
+    cat = rep_category("Rep(A4)", irreps)
+    return (cat, irreps) if with_irreps else cat
