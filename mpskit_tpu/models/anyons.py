@@ -50,10 +50,14 @@ def ising_anyon_chain(J: float = 1.0, period: int = 1, dtype=np.float64):
                          dtype=dtype)
 
 
-def anyon_chain(cat: FusionCategory, x: int, channel: int = 0,
+def anyon_chain(cat, x: int, channel: int = 0,
                 J: float = 1.0, period: int = 1, dtype=np.float64):
-    """Generic anyonic chain H = -J Σ P^{(channel)} for any
-    multiplicity-free unitary fusion category."""
+    """Generic anyonic chain H = -J Σ P^{(channel)} for any unitary
+    fusion category: a multiplicity-free `FusionCategory` (physical
+    dimension n, height basis) or a `MultiplicityCategory` with
+    N[a,b,c] > 1 (physical dimension n·m over the (height, vertex-
+    multiplicity) basis — e.g. Rep(A4)); both expose the same
+    `chain_mpo` constructor."""
     return cat.chain_mpo(x, channel, coupling=-float(J), period=period,
                          dtype=dtype)
 

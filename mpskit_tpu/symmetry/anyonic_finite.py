@@ -41,6 +41,14 @@ they have disjoint ROWS, so the optimal masked split is an independent
 SVD of each middle-sector ROW block over all of its columns, with the
 global top-D Schmidt values selecting the sector allocation — error
 contributions add because the row blocks span orthogonal subspaces.
+
+Everything here also works for arbitrary-multiplicity categories
+(`MultiplicityCategory`, N[a,b,c] > 1 — TensorKit's general case): the
+physical index becomes q = (h, μ) with μ < N[h_prev, x, h] the vertex
+multiplicity, dimension n·m per site; bond labels remain plain heights
+(the path charge), and the row-block split groups rows by height over
+all multiplicity copies. Multiplicity-free categories are the m = 1
+special case.
 """
 
 from __future__ import annotations
@@ -54,6 +62,19 @@ import jax
 import jax.numpy as jnp
 
 from .category import FusionCategory, quantum_schmidt, quantum_entropy
+
+
+# ---------------------------------------------------------------------------
+# category introspection: FusionCategory is the m=1 case of the
+# multiplicity layer — every helper below works for both, with the
+# physical index q = h·m + μ (height, vertex multiplicity)
+
+
+def _cat_nm(cat) -> Tuple[int, int, np.ndarray]:
+    """(n_sectors, max_multiplicity, N) for FusionCategory (m = 1) or
+    MultiplicityCategory (m = N.max())."""
+    m = int(getattr(cat, "mmax", 1))
+    return cat.n, m, np.asarray(cat.N, int)
 
 
 # ---------------------------------------------------------------------------
@@ -73,14 +94,15 @@ def anyon_bond_labels_finite(cat: FusionCategory, x: int, D: int, L: int,
     dimension sector reachable in L steps — what `anyon_chain_finite`
     pins via penalties, here enforced exactly by the masks, like fixing
     the fusion-tree boundary sector of a TensorKit `TensorMap`).
-    Dead slots carry label -1."""
-    n = cat.n
+    Dead slots carry label -1. Works for multiplicity categories too:
+    path counts weight each step by the vertex multiplicity N[a,x,b]."""
+    n, _, N = _cat_nm(cat)
     fwd = [dict() for _ in range(L + 1)]
     fwd[0][left] = 1.0
     for i in range(L):
         for a, cnt in fwd[i].items():
             for b in cat.fuse(a, x):
-                fwd[i + 1][b] = fwd[i + 1].get(b, 0.0) + cnt
+                fwd[i + 1][b] = fwd[i + 1].get(b, 0.0) + cnt * N[a, x, b]
     if right is None:
         right = min(fwd[L], key=lambda a: (cat.qdim[a], a))
     right = int(right)
@@ -93,7 +115,7 @@ def anyon_bond_labels_finite(cat: FusionCategory, x: int, D: int, L: int,
         for a in range(n):
             tot = 0.0
             for b in cat.fuse(a, x):
-                tot += bwd[i + 1].get(b, 0.0)
+                tot += bwd[i + 1].get(b, 0.0) * N[a, x, b]
             if tot:
                 bwd[i][a] = tot
 
@@ -138,19 +160,22 @@ def anyon_bond_labels_finite(cat: FusionCategory, x: int, D: int, L: int,
 
 def anyon_masks_finite(cat: FusionCategory, x: int,
                        labels: List[np.ndarray]) -> np.ndarray:
-    """(L, D, n, D) boolean site masks: A_j[(l), p, (r)] is admissible iff
-    the left slot is live, p ∈ label(l) ⊗ x, and the right slot carries
-    exactly p (bond sector = height of the site to its left)."""
+    """(L, D, n·m, D) boolean site masks: A_j[(l), q=(h,μ), (r)] is
+    admissible iff the left slot is live, μ < N[label(l), x, h], and the
+    right slot carries exactly h (bond sector = height of the site to
+    its left). m = 1 for multiplicity-free categories."""
     L = len(labels) - 1
     D = labels[0].shape[0]
-    n = cat.n
-    masks = np.zeros((L, D, n, D), bool)
+    n, m, N = _cat_nm(cat)
+    hq = np.repeat(np.arange(n), m)                 # q -> h
+    mq = np.tile(np.arange(m), n)                   # q -> μ
+    masks = np.zeros((L, D, n * m, D), bool)
     for j in range(L):
         cl, cr = labels[j], labels[j + 1]
         okl = cl >= 0
-        adm = np.zeros((D, n), bool)
-        adm[okl] = cat.N[cl[okl], x] > 0          # (live l, p)
-        masks[j] = adm[:, :, None] & (np.arange(n)[None, :, None]
+        adm = np.zeros((D, n * m), bool)            # μ < N[cl[l], x, h]
+        adm[okl] = mq[None, :] < N[cl[okl]][:, x][:, hq]
+        masks[j] = adm[:, :, None] & (hq[None, :, None]
                                       == cr[None, None, :]) & \
             (cr >= 0)[None, None, :]
     return masks
@@ -158,14 +183,17 @@ def anyon_masks_finite(cat: FusionCategory, x: int,
 
 def anyon_theta_mask(cat: FusionCategory, x: int, cl: np.ndarray,
                      cr: np.ndarray) -> np.ndarray:
-    """(D, n, n, D) two-site window mask: p₁ ∈ label(l) ⊗ x,
-    p₂ ∈ p₁ ⊗ x, and the right slot carries exactly p₂."""
-    D, n = cl.shape[0], cat.n
+    """(D, n·m, n·m, D) two-site window mask: μ₁ < N[label(l), x, h₁],
+    μ₂ < N[h₁, x, h₂], and the right slot carries exactly h₂."""
+    D = cl.shape[0]
+    n, m, N = _cat_nm(cat)
+    hq = np.repeat(np.arange(n), m)
+    mq = np.tile(np.arange(m), n)
     okl = cl >= 0
-    adm1 = np.zeros((D, n), bool)
-    adm1[okl] = cat.N[cl[okl], x] > 0                       # (l, p1)
-    adm2 = cat.N[:, x, :] > 0                               # (p1, p2)
-    right = (np.arange(n)[:, None] == cr[None, :]) & (cr >= 0)[None, :]
+    adm1 = np.zeros((D, n * m), bool)               # (l, q1)
+    adm1[okl] = mq[None, :] < N[cl[okl]][:, x][:, hq]
+    adm2 = mq[None, :] < N[hq][:, x][:, hq]         # (q1, q2)
+    right = (hq[:, None] == cr[None, :]) & (cr >= 0)[None, :]  # (q2, r)
     return (adm1[:, :, None, None] & adm2[None, :, :, None]
             & right[None, None, :, :])
 
@@ -176,28 +204,31 @@ def anyon_theta_mask(cat: FusionCategory, x: int, cl: np.ndarray,
 
 def anyon_split(theta: np.ndarray, cl: np.ndarray, cr: np.ndarray,
                 cat: FusionCategory, x: int, D: int):
-    """Split a masked two-site tensor theta (D, n, n, D) at its middle
-    bond: independent SVD of each middle-sector ROW block (rows (l, p₁)
-    with p₁ = q and q ∈ label(l) ⊗ x; columns are the block's admissible
-    (p₂, r) set), then global top-D Schmidt selection across sectors.
+    """Split a masked two-site tensor theta (D, n·m, n·m, D) at its
+    middle bond: independent SVD of each middle-sector ROW block (rows
+    (l, q₁=(h₁,μ₁)) with h₁ = q and μ₁ < N[label(l), x, q]; columns are
+    the block's admissible (q₂, r) set), then global top-D Schmidt
+    selection across sectors. m = 1 for multiplicity-free categories.
 
-    Returns (AL (D,n,D) flat-left-isometric, S (D,), AR (D,n,D) per-block
-    right-isometric, labels_mid (D,), err). The truncation error is exact
-    (row blocks are orthogonal subspaces)."""
-    n = cat.n
-    M = theta.reshape(D * n, n * D)
+    Returns (AL (D,d,D) flat-left-isometric, S (D,), AR (D,d,D) per-block
+    right-isometric (d = n·m the physical dimension), labels_mid (D,),
+    err). The truncation error is exact (row blocks are orthogonal
+    subspaces)."""
+    n, m, N = _cat_nm(cat)
+    d = n * m
+    M = theta.reshape(D * d, d * D)
     total2 = float(np.vdot(M, M).real)
     live_l = np.where(cl >= 0)[0]
     blocks = {}
     for q in range(n):
-        ls = live_l[cat.N[cl[live_l], x, q] > 0]
-        if len(ls) == 0:
+        ri = np.array([l * d + q * m + mu for l in live_l
+                       for mu in range(N[cl[l], x, q])], int)
+        if len(ri) == 0:
             continue
-        ri = ls * n + q
-        ps = np.where(cat.N[q, x] > 0)[0]
-        ci = np.concatenate([
-            p * D + np.where(cr == p)[0] for p in ps
-        ]) if len(ps) else np.array([], int)
+        ci = np.array([(h2 * m + mu2) * D + r
+                       for h2 in cat.fuse(q, x)
+                       for mu2 in range(N[q, x, h2])
+                       for r in np.where(cr == h2)[0]], int)
         if len(ci) == 0:
             continue
         Mq = M[np.ix_(ri, ci)]
@@ -212,8 +243,8 @@ def anyon_split(theta: np.ndarray, cl: np.ndarray, cr: np.ndarray,
     for _, q, _ in allvals[:D]:
         counts[q] = counts.get(q, 0) + 1
     labels_mid = np.full(D, -1, int)
-    AL = np.zeros((D * n, D), theta.dtype)
-    AR = np.zeros((D, n * D), theta.dtype)
+    AL = np.zeros((D * d, D), theta.dtype)
+    AR = np.zeros((D, d * D), theta.dtype)
     S = np.zeros(D, theta.real.dtype if np.iscomplexobj(theta)
                  else theta.dtype)
     pos, kept2 = 0, 0.0
@@ -228,7 +259,7 @@ def anyon_split(theta: np.ndarray, cl: np.ndarray, cr: np.ndarray,
         pos += m
     err = float(np.sqrt(max(total2 - kept2, 0.0) / max(total2, 1e-300)))
     S = S / max(float(np.linalg.norm(S)), 1e-30)
-    return (AL.reshape(D, n, D), S, AR.reshape(D, n, D), labels_mid, err)
+    return (AL.reshape(D, d, D), S, AR.reshape(D, d, D), labels_mid, err)
 
 
 # ---------------------------------------------------------------------------
@@ -264,17 +295,18 @@ class AnyonicFiniteMPS:
 
         labels = anyon_bond_labels_finite(cat, anyon, D, L, left, right)
         masks = anyon_masks_finite(cat, anyon, labels)
-        n = cat.n
+        n, m, _ = _cat_nm(cat)
+        d = n * m
         seed = int(jax.random.randint(key, (), 0, 2**31 - 1))
         rng = np.random.default_rng(seed)
         npdt = np.dtype(jnp.zeros((), dtype).dtype.name)
-        ARs = np.zeros((L, D, n, D), npdt)
+        ARs = np.zeros((L, D, d, D), npdt)
         for j in range(L):
-            A = rng.normal(size=(D, n, D)).astype(npdt)
+            A = rng.normal(size=(D, d, D)).astype(npdt)
             if np.issubdtype(npdt, np.complexfloating):
-                A = A + 1j * rng.normal(size=(D, n, D)).astype(npdt)
+                A = A + 1j * rng.normal(size=(D, d, D)).astype(npdt)
             A = A * masks[j]
-            M = A.reshape(D, n * D)
+            M = A.reshape(D, d * D)
             for q in sorted(set(labels[j][labels[j] >= 0].tolist())):
                 rows = np.where(labels[j] == q)[0]
                 blk = M[rows]
@@ -283,10 +315,10 @@ class AnyonicFiniteMPS:
                 newb = np.zeros_like(blk)
                 newb[:r] = Vh[:r]
                 M[rows] = newb
-            ARs[j] = M.reshape(D, n, D)
-        AC = (rng.normal(size=(D, n, D)) * masks[0]).astype(npdt)
+            ARs[j] = M.reshape(D, d, D)
+        AC = (rng.normal(size=(D, d, D)) * masks[0]).astype(npdt)
         AC /= max(np.linalg.norm(AC), 1e-30)
-        psi = FiniteMPS(jnp.zeros((L, D, n, D), dtype),
+        psi = FiniteMPS(jnp.zeros((L, D, d, D), dtype),
                         jnp.asarray(ARs, dtype), jnp.asarray(AC, dtype), 0)
         return AnyonicFiniteMPS(psi, cat, int(anyon),
                                 tuple(np.asarray(l) for l in labels))
@@ -349,7 +381,7 @@ def find_groundstate_anyonic_dmrg2(spsi: AnyonicFiniteMPS, H, alg=None):
         alg = DMRG2()
     cat, x = spsi.cat, spsi.anyon
     psi = spsi.state
-    L, D, n = psi.length, psi.D, cat.n
+    L, D = psi.length, psi.D
     labels = [np.asarray(l, int).copy() for l in spsi.labels]
     Ws = stack_W(H, L).astype(psi.dtype)
     w = Ws.shape[1]

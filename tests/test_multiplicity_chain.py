@@ -83,15 +83,56 @@ def test_rep_a4_chain_mpo_dmrg():
 
     cat = rep_a4()
     x, L, D = 3, 6, 24
-    H = cat.chain_mpo(x, 0, period=1)
+    # the Rep(A4) Clebsch-Gordan gauge is genuinely complex (the ω/ω²
+    # one-dimensionals), so the chain MPO is complex Hermitian
+    H = cat.chain_mpo(x, 0, period=1, dtype=np.complex128)
     # ED reference: unconstrained best over boundary sectors (left free)
     Hp, paths = cat.chain_hamiltonian_dense(x, 0, L, left=None)
     e_ref = float(np.linalg.eigvalsh(Hp)[0])
 
     d = cat.n * cat.mmax
     psi = FiniteMPS.random(jax.random.PRNGKey(0), L, d, D,
-                           dtype=np.float64)
+                           dtype=np.complex128)
     psi, envs, eps = find_groundstate_dmrg2(
         psi, H, DMRG2(tol=1e-10, maxiter=40, verbosity=0))
     E = float(expectation_value(psi, H, envs=envs))
     assert abs(E - e_ref) < 1e-6, (E, e_ref)
+
+
+@pytest.mark.slow
+def test_rep_a4_sector_resolved_dmrg2():
+    """The sector-resolved two-site driver handles multiplicity
+    categories: the Rep(A4) x=3 chain (vertex multiplicities on the
+    physical index, q = (h, μ) with dimension n·m = 8) at full rank
+    matches the multiplicity-path ED with boundary sectors fixed by the
+    masks, every bond exactly height-pure."""
+    import jax
+    from mpskit_tpu.symmetry import (
+        AnyonicFiniteMPS, find_groundstate_anyonic_dmrg2,
+        anyon_bond_labels_finite,
+    )
+    from mpskit_tpu.algorithms import expectation_value
+    from mpskit_tpu.algorithms.dmrg2 import DMRG2
+
+    cat = rep_a4()
+    x, L = 3, 5
+    # full-rank D: the label allocator caps at min(paths_fwd, paths_bwd)
+    probe = anyon_bond_labels_finite(cat, x, 256, L)
+    D = max(int(np.sum(l >= 0)) for l in probe)
+    labels = anyon_bond_labels_finite(cat, x, D, L)
+    right = int(labels[-1][0])
+    Hp, paths = cat.chain_hamiltonian_dense(x, 0, L, left=0, right=right)
+    e_ref = float(np.linalg.eigvalsh(Hp)[0])
+
+    H = cat.chain_mpo(x, 0, period=1, dtype=np.complex128)
+    spsi = AnyonicFiniteMPS.random(jax.random.PRNGKey(0), cat, x, D, L,
+                                   dtype=np.complex128)
+    spsi, envs, eps = find_groundstate_anyonic_dmrg2(
+        spsi, H, DMRG2(tol=1e-11, maxiter=40, verbosity=0))
+    E = float(np.real(expectation_value(spsi.state, H, envs=envs)))
+    assert abs(E - e_ref) < 1e-8, (E, e_ref)
+    # every bond height-pure; multiplicity slots live on the physical leg
+    for b in range(1, L):
+        lab = spsi.labels[b]
+        assert np.all(lab[lab >= 0] >= 0)
+    assert np.isfinite(spsi.entropy(L // 2))
