@@ -77,6 +77,21 @@ from .utils.plotting import (
     transfer_plot_data,
 )
 
+# reference-name compatibility surface (docs/parity.md maps every
+# reference export, src/MPSKit.jl:16-55, to its home here)
+from .compat import (
+    MPSTensor, MPSBondTensor, MPOTensor, TransferMatrix, PeriodicArray,
+    PeriodicVector, transfer_left, transfer_right, environments, leftenv,
+    rightenv, add_util_leg, max_Ds, left_virtualspace, right_virtualspace,
+    physicalspace, uniform_leftorth, uniform_rightorth,
+    effective_excitation_hamiltonian,
+)
+
+# reference-name aliases: the reference exports these under one-word
+# names; the idiomatic names here differ
+entanglementplot = entanglement_plot
+transferplot = transfer_plot
+
 # abelian symmetry (charge-sector states)
 from .symmetry import (
     SymmetricFiniteMPS,
@@ -87,6 +102,14 @@ from .symmetry.charges import (
     find_groundstate_symmetric,
     find_groundstate_symmetric_infinite,
 )
+
+# SparseMPO: the reference's sparse FSM container role is played by
+# MPOHamiltonian's dense-stacked FSM + static structure metadata
+# (operators/mpo.py; reference src/operators/sparsempo/sparsempo.jl)
+SparseMPO = MPOHamiltonian
+# QP: union of the quasiparticle containers (reference
+# states/quasiparticle_state.jl:170), usable with isinstance()
+QP = (LeftGaugedQP, RightGaugedQP, FiniteQP, FiniteQPRight)
 
 # models (fixtures / model zoo)
 from . import models

@@ -117,3 +117,48 @@ class InfiniteMPS:
 
     def rho_lefts(self) -> jnp.ndarray:
         return jnp.einsum("ikm,ikn->imn", self.C.conj(), self.C)
+
+    # ------------------------------------------------------------------
+    # the eight reference-named fixed points (src/states/infinitemps.jl:
+    # 300-358): dominant eigenvectors of the four gauge combinations of
+    # the unit-cell transfer matrix, all closed forms in C. Convention:
+    # [bra, ket] like rho_left/rho_right; `i` is the SITE the boundary
+    # attaches to (left caps sit on the bond left of site i, right caps
+    # on the bond right of site i), matching the reference's `loc`.
+    def l_LL(self, i: int = 0) -> jnp.ndarray:
+        """Left fixed point of the AL–AL transfer: identity."""
+        return jnp.eye(self.D, dtype=self.dtype)
+
+    def l_RR(self, i: int = 0) -> jnp.ndarray:
+        """Left fixed point of the AR–AR transfer: C†C at the left bond."""
+        return self.rho_left(i - 1)
+
+    def l_RL(self, i: int = 0) -> jnp.ndarray:
+        """Left fixed point of the mixed transfer with AR on the ket and
+        AL on the bra layer: C at the left bond ([bra, ket] layout)."""
+        return self.C[(i - 1) % self.period]
+
+    def l_LR(self, i: int = 0) -> jnp.ndarray:
+        """Left fixed point of the mixed transfer with AL on the ket and
+        AR on the bra layer: C† at the left bond ([bra, ket] layout)."""
+        return self.C[(i - 1) % self.period].conj().T
+
+    def r_RR(self, i: int = -1) -> jnp.ndarray:
+        """Right fixed point of the AR–AR transfer: identity."""
+        return jnp.eye(self.D, dtype=self.dtype)
+
+    def r_LL(self, i: int = -1) -> jnp.ndarray:
+        """Right fixed point of the AL–AL transfer: CC† at the right bond."""
+        return self.rho_right(i)
+
+    def r_RL(self, i: int = -1) -> jnp.ndarray:
+        """Right fixed point of the mixed transfer with AR on the ket and
+        AL on the bra layer: conj(C) at the right bond ([bra, ket]
+        layout; the reference's C† becomes an elementwise conj because
+        our pairing `einsum('xy,xy->')` is transpose-free)."""
+        return self.C[i % self.period].conj()
+
+    def r_LR(self, i: int = -1) -> jnp.ndarray:
+        """Right fixed point of the mixed transfer with AL on the ket and
+        AR on the bra layer: Cᵀ at the right bond ([bra, ket] layout)."""
+        return self.C[i % self.period].T
