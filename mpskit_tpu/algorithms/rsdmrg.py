@@ -1,0 +1,264 @@
+"""Real-space (segment-parallel) DMRG — algorithm-level parallelism over
+the device mesh.
+
+Beyond-reference capability: MPSKit.jl's parallelism is shared-memory
+threads over sites/FSM blocks (SURVEY.md §2.7, reference
+src/algorithms/groundstate/vumps.jl:39-49); plain DMRG sweeps are
+inherently sequential in the chain direction. Here the chain is split
+into `nseg` contiguous segments that run full one-site DMRG mini-sweeps
+*simultaneously* — block-Jacobi in real space, in the spirit of
+Stoudenmire & White, PRB 87, 155137 (2013) — with the segment axis a
+leading batch axis (`jax.vmap`) that shards over the mesh's 'site' axis,
+so each TPU core owns a segment and the round's wall-clock is one
+mini-sweep of L/nseg sites.
+
+Round structure (all inside ONE jit):
+
+1. *Capture pass*: a left-to-right QR scan over the current
+   right-canonical state yields fresh left isometries ``ALf`` and the
+   bond matrix ``C(b)`` at every bond (exactly satisfying
+   ``C(i)·AR(i) = ALf(i)·C(i+1)``).
+2. Global environment scans give ``GL`` at every segment start (from
+   ``ALf``) and ``GR`` stacks (from the old ARs).
+3. Every segment k solves its sites with frozen outer environments:
+   a standard `_dmrg_sweep_impl` on the sub-chain with boundary
+   environments ``GL[a_k]``/``GR[b_k+1]`` and initial center
+   ``C(a_k)·AR(a_k)`` — vmapped over k.
+4. *Stitch*: the updated segments are spliced back into one chain.
+   Segment k's output carries the interface bond matrix inside its
+   center, so the stale copy ``C(a_{k+1})`` at its right edge is divided
+   out with a Tikhonov-regularized right-solve (the Λ⁻¹ step of
+   real-space parallel DMRG; regularization replaces the hard
+   pseudo-inverse cutoff). At the joint fixed point the splice is exact,
+   so the converged state and energy match serial DMRG.
+5. Re-canonicalize (reverse QR scan, masked) back to center 0.
+
+Information propagates one segment per round, so convergence needs a few
+more rounds than serial DMRG needs sweeps; each round is ~nseg× cheaper
+in wall-clock on an nseg-core mesh.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..config import Defaults, VERBOSE_ITER
+from ..environments.finite import (
+    left_boundary, right_boundary, compute_left_envs, compute_right_envs,
+    stack_W,
+)
+from ..states.finitemps import FiniteMPS, support_mask, physical_bond_dims
+from ..tensors.ops import leftorth, rightorth
+from ..utils.logging import IterLog
+from ..utils.dynamictols import updatetol
+from .dmrg import _dmrg_sweep, _dmrg_sweep_impl
+
+
+@dataclasses.dataclass(frozen=True)
+class RealSpaceParallelDMRG:
+    """Segment-parallel one-site DMRG.
+
+    nseg: number of chain segments (must divide L; one mesh core each).
+    warmup: serial sweeps before the parallel rounds (seeds the
+        interfaces; block-Jacobi then only has to refine).
+    rcond: Tikhonov scale for the interface bond-matrix right-solve;
+        None picks a dtype-aware default (1e-6 f64 / 3e-4 f32).
+    """
+
+    nseg: int = 4
+    tol: float = 1e-10
+    maxiter: int = Defaults.maxiter
+    krylovdim: int = Defaults.krylovdim
+    eig_maxrestarts: int = 4
+    warmup: int = 2
+    verbosity: int = Defaults.verbosity
+    reorth: str = "local1"
+    rcond: Optional[float] = None
+
+
+def _bond_support_masks(L, d, D):
+    """(L, D, D) boolean masks of the supported block of the bond matrix
+    right of each site."""
+    dims = physical_bond_dims(L, d, D)
+    m = np.zeros((L, D, D), bool)
+    for i in range(L):
+        m[i, : dims[i + 1], : dims[i + 1]] = True
+    return m
+
+
+def _solve_right(A, C, lam):
+    """X ≈ A · C⁻¹ for a site tensor A (D, d, D) and bond matrix C (D, D),
+    via the Tikhonov-regularized normal equations
+    X = A·Cᴴ·(C·Cᴴ + λI)⁻¹ — a Cholesky solve (TPU-friendly; LAPACK-style
+    pinv needs an SVD, which SIGABRTs the TPU compiler inside loops).
+    Exactly zero rows/columns of C stay exactly zero in X."""
+    D = C.shape[0]
+    G = C @ C.conj().T + lam * jnp.eye(D, dtype=C.dtype)
+    Y = jnp.einsum("lpm,nm->lpn", A, C.conj())
+    # X = Y·G⁻¹ = (G⁻¹·Yᴴ)ᴴ since G is Hermitian
+    Xh = jax.scipy.linalg.solve(G, Y.reshape(-1, D).conj().T, assume_a="pos")
+    return Xh.conj().T.reshape(A.shape)
+
+
+@partial(jax.jit, static_argnums=(5, 6, 7),
+         static_argnames=("reorth", "mesh"))
+def _rs_round(ARs, AC, Ws, masks, bond_masks, nseg: int, m: int,
+              restarts: int, inner_tol, lam_reg, reorth: str = "local1",
+              mesh=None):
+    """One parallel round: capture → segment sweeps (vmapped) → stitch →
+    re-canonicalize. State convention in/out: center 0 (AC + ARs[1:])."""
+    L, D, d = ARs.shape[0], ARs.shape[1], ARs.shape[2]
+    w = Ws.shape[1]
+    dtype = AC.dtype
+    Lseg = L // nseg
+    maskf = masks.astype(dtype)
+    bmaskf = bond_masks.astype(dtype)
+
+    # ---- 1. capture pass: fresh ALs + bond matrix at every bond ----
+    raw = jnp.concatenate([AC[None], ARs[1:]], axis=0)
+
+    def capL(C, xs):
+        A, mk, bm = xs
+        Ain = jnp.einsum("lm,mpr->lpr", C, A)
+        AL, Cn = leftorth(Ain)
+        AL = AL * mk
+        Cn = Cn * bm
+        Cn = Cn / jnp.maximum(jnp.linalg.norm(Cn), 1e-30)
+        return Cn, (AL, Cn)
+
+    _, (ALf, Cs) = jax.lax.scan(
+        capL, jnp.eye(D, dtype=dtype), (raw, maskf, bmaskf))
+
+    # ---- 2. global environments ----
+    GLs = compute_left_envs(ALf, Ws, left_boundary(w, D, dtype))
+    GRs = compute_right_envs(ARs, Ws, right_boundary(w, D, dtype))
+
+    # ---- 3. per-segment stacks (segment k owns sites k·Lseg..(k+1)·Lseg-1)
+    starts = [k * Lseg for k in range(nseg)]
+    ARs_seg = ARs.reshape(nseg, Lseg, D, d, D)
+    Ws_seg = Ws.reshape(nseg, Lseg, w, w, d, d)
+    masks_seg = masks.reshape(nseg, Lseg, D, d, D)
+    AC0 = [AC] + [
+        jnp.einsum("lm,mpr->lpr", Cs[a - 1], ARs[a]) for a in starts[1:]]
+    AC_seg = jnp.stack(AC0)
+    GL0_seg = jnp.stack([GLs[a] for a in starts])
+    GRL_seg = jnp.stack([GRs[a + Lseg] for a in starts])
+    GRs_seg = jnp.stack([
+        jax.lax.dynamic_slice_in_dim(GRs, a, Lseg + 1) for a in starts])
+
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        seg_sh = NamedSharding(mesh, P("site"))
+        (ARs_seg, Ws_seg, masks_seg, AC_seg, GL0_seg, GRL_seg, GRs_seg) = (
+            jax.lax.with_sharding_constraint(x, seg_sh)
+            for x in (ARs_seg, Ws_seg, masks_seg, AC_seg, GL0_seg,
+                      GRL_seg, GRs_seg))
+
+    # ---- 4. simultaneous segment mini-sweeps ----
+    def seg_sweep(ALs_k, ARs_k, AC_k, Ws_k, GRs_k, GL0_k, GRL_k, mk):
+        return _dmrg_sweep_impl(
+            ALs_k, ARs_k, AC_k, Ws_k, GRs_k, inner_tol, m, restarts,
+            GL0=GL0_k, GRL=GRL_k, masks=mk, reorth=reorth, use_fast=False)
+
+    ALs_n, ARs_n, AC_n, _, lam, eps, diag = jax.vmap(seg_sweep)(
+        jnp.zeros_like(ARs_seg), ARs_seg, AC_seg, Ws_seg, GRs_seg,
+        GL0_seg, GRL_seg, masks_seg)
+
+    # ---- 5. stitch: centers back in, stale interface bond matrices out
+    raw_new = ARs_n.at[:, 0].set(AC_n)
+    tails = jax.vmap(_solve_right, in_axes=(0, 0, None))(
+        raw_new[:-1, -1], jnp.stack([Cs[a - 1] for a in starts[1:]]), lam_reg)
+    raw_new = raw_new.at[:-1, -1].set(tails)
+    raw_new = (raw_new.reshape(L, D, d, D) * maskf)
+
+    # ---- 6. re-canonicalize to center 0 (masked reverse QR scan) ----
+    def capR(C, xs):
+        A, mk = xs
+        Ain = jnp.einsum("lpm,mr->lpr", A, C)
+        Cn, AR = rightorth(Ain)
+        AR = AR * mk
+        nrm = jnp.maximum(jnp.linalg.norm(Cn), 1e-30)
+        return Cn / nrm, AR
+
+    C0, ARs_out = jax.lax.scan(
+        capR, jnp.eye(D, dtype=dtype), (raw_new, maskf), reverse=True)
+    AC_out = jnp.einsum("lm,mpr->lpr", C0, ARs_out[0]) * maskf[0]
+    AC_out = AC_out / jnp.maximum(jnp.linalg.norm(AC_out), 1e-30)
+
+    n_unconv = jnp.sum(diag[0]).astype(jnp.int32)
+    worst = jnp.max(diag[1])
+    return ARs_out, AC_out, lam[0], jnp.max(eps), (n_unconv, worst)
+
+
+def find_groundstate_rsdmrg(psi: FiniteMPS, H,
+                            alg: RealSpaceParallelDMRG = RealSpaceParallelDMRG(),
+                            mesh=None):
+    """Run segment-parallel DMRG. Returns (psi, envs, epsilon).
+
+    mesh: optional `jax.sharding.Mesh` with a 'site' axis; the stacked
+    segment tensors are then placed so each core runs one segment's
+    mini-sweep (validated on the virtual CPU mesh; the round function is
+    identical sharded and unsharded)."""
+    from ..config import matmul_precision
+
+    L, D, d = psi.length, psi.D, psi.physicaldim
+    if alg.nseg < 2:
+        raise ValueError("nseg must be >= 2 (use DMRG for a single segment)")
+    if L % alg.nseg != 0:
+        raise ValueError(f"nseg={alg.nseg} must divide L={L}")
+    if L // alg.nseg < 2:
+        raise ValueError("segments need at least 2 sites")
+    psi = psi.move_center(0)
+    Ws = stack_W(H, L).astype(psi.dtype)
+    w = Ws.shape[1]
+    masks = jnp.asarray(support_mask(L, d, D))
+    bond_masks = jnp.asarray(_bond_support_masks(L, d, D))
+    if alg.rcond is None:
+        rcond = 1e-6 if psi.dtype in (jnp.float64, jnp.complex128) else 3e-4
+    else:
+        rcond = alg.rcond
+    lam_reg = jnp.asarray(rcond ** 2, jnp.zeros((), psi.dtype).real.dtype)
+
+    ALs, ARs, AC = (jnp.array(x, copy=True)
+                    for x in (psi.ALs, psi.ARs, psi.AC))
+    log = IterLog("RS-DMRG", alg.verbosity)
+    log.init()
+    eps = 1.0
+
+    with matmul_precision(psi.dtype):
+        # serial warmup sweeps seed the interfaces
+        GRs = compute_right_envs(ARs, Ws, right_boundary(w, D, psi.dtype))
+        for it in range(alg.warmup):
+            ALs, ARs, AC, GRs, lam, eps, diag = _dmrg_sweep(
+                ALs, ARs, AC, Ws, GRs, updatetol(float(eps), it + 1),
+                alg.krylovdim, alg.eig_maxrestarts, masks=masks,
+                reorth=alg.reorth)
+            eps = float(eps)
+
+        lam = jnp.zeros(())
+        it = 0
+        for it in range(1, alg.maxiter + 1):
+            inner_tol = updatetol(eps, it)
+            ARs, AC, lam, eps, diag = _rs_round(
+                ARs, AC, Ws, masks, bond_masks, alg.nseg, alg.krylovdim,
+                alg.eig_maxrestarts, inner_tol, lam_reg, reorth=alg.reorth,
+                mesh=mesh)
+            eps = float(eps)
+            log.solver_warn(it, diag, float(inner_tol))
+            if alg.verbosity >= VERBOSE_ITER:
+                log.conv(it, float(jnp.real(lam)), eps)
+            if eps < alg.tol:
+                break
+        else:
+            log.cancel(it, float(jnp.real(lam)), eps)
+
+    from ..environments.finite import finite_environments
+
+    out = FiniteMPS(jnp.zeros_like(ARs), ARs, AC, 0)
+    return out, finite_environments(out, H), eps
