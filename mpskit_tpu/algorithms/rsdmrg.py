@@ -80,6 +80,12 @@ class RealSpaceParallelDMRG:
     verbosity: int = Defaults.verbosity
     reorth: str = "local1"
     rcond: Optional[float] = None
+    # run the capture/stitch/re-canonicalization passes in f64 for an f32
+    # state. None = auto: on only on the CPU backend with x64 enabled
+    # (on TPU the emulated-f64 QR is ~25x slower AND NaNs on the zero
+    # columns these passes produce — measured; f32 rounds there rely on
+    # the best-iterate tracking instead).
+    stitch_f64: Optional[bool] = None
 
 
 def _bond_support_masks(L, d, D):
@@ -92,40 +98,100 @@ def _bond_support_masks(L, d, D):
     return m
 
 
-def _solve_right(A, C, lam):
-    """X ≈ A · C⁻¹ for a site tensor A (D, d, D) and bond matrix C (D, D),
-    via the Tikhonov-regularized normal equations
-    X = A·Cᴴ·(C·Cᴴ + λI)⁻¹ — a Cholesky solve (TPU-friendly; LAPACK-style
-    pinv needs an SVD, which SIGABRTs the TPU compiler inside loops).
-    Exactly zero rows/columns of C stay exactly zero in X."""
+def _sanitize(x, rel=None):
+    """Zero entries below rel·max|x| (default: machine epsilon).
+
+    The interface right-solve and the bond-matrix products leave entries
+    spanning the full exponent range (measured down to 1e-21 at D=512
+    f32); Householder QR column norms (entry²) on such columns UNDERFLOW
+    to zero and the 'orthogonal' factor comes out wildly non-orthogonal
+    (measured orth-err ~1e6), which explodes the environment scans to
+    1e25 and NaNs the segment solves. Entries below eps·max are
+    indistinguishable from matmul rounding noise, so zeroing them before
+    every QR/LQ in the capture/re-canonicalization scans loses nothing
+    and keeps every surviving column norm representable."""
+    if rel is None:
+        rel = float(jnp.finfo(x.dtype).eps)
+    m = jnp.max(jnp.abs(x))
+    return jnp.where(jnp.abs(x) > rel * m, x, 0.0).astype(x.dtype)
+
+
+def _solve_left(C, A, lam):
+    """X ≈ C⁻¹ · A over the LEFT index of a site tensor A (D, d, D), via
+    the Tikhonov-regularized normal equations X = (CᴴC + λI)⁻¹·Cᴴ·A — a
+    Cholesky solve (TPU-friendly; LAPACK-style pinv needs an SVD, which
+    SIGABRTs the TPU compiler inside loops).
+
+    Conditioning note: the stale interface bond matrix must be divided
+    out of the RIGHT segment's center (whose content in weak Schmidt
+    directions is itself σ-weighted, so the quotient stays O(1)) — NOT
+    out of the left segment's edge isometry, whose O(1) rows in dead
+    directions would be amplified by 1/σ and destroy the f32 state at
+    large D (measured divergence at D=512)."""
     D = C.shape[0]
-    G = C @ C.conj().T + lam * jnp.eye(D, dtype=C.dtype)
-    Y = jnp.einsum("lpm,nm->lpn", A, C.conj())
-    # X = Y·G⁻¹ = (G⁻¹·Yᴴ)ᴴ since G is Hermitian
-    Xh = jax.scipy.linalg.solve(G, Y.reshape(-1, D).conj().T, assume_a="pos")
-    return Xh.conj().T.reshape(A.shape)
+    G = C.conj().T @ C + lam * jnp.eye(D, dtype=C.dtype)
+    Y = jnp.einsum("ml,mpr->lpr", C.conj(), A)
+    X = jax.scipy.linalg.solve(G, Y.reshape(D, -1), assume_a="pos")
+    return X.reshape(A.shape)
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7),
-         static_argnames=("reorth", "mesh"))
+         static_argnames=("reorth", "mesh", "stitch_f64"))
 def _rs_round(ARs, AC, Ws, masks, bond_masks, nseg: int, m: int,
               restarts: int, inner_tol, lam_reg, reorth: str = "local1",
-              mesh=None):
+              mesh=None, stitch_f64: bool = False):
     """One parallel round: capture → segment sweeps (vmapped) → stitch →
     re-canonicalize. State convention in/out: center 0 (AC + ARs[1:])."""
     L, D, d = ARs.shape[0], ARs.shape[1], ARs.shape[2]
     w = Ws.shape[1]
     dtype = AC.dtype
     Lseg = L // nseg
+    # The capture/stitch/re-canonicalization passes optionally run at
+    # HIGHER precision than the mini-sweeps (stitch_f64, CPU-only auto
+    # default — see RealSpaceParallelDMRG): the interface division
+    # injects O(rcond) error per round in the stitch's own arithmetic,
+    # and at f32 that slow leak was measured to erode a converged state
+    # (~1e-2 energy drift over ~10 rounds at D=32..512). In f64 the same
+    # passes are exact to ~1e-12 and cost only O(L·D³) FLOPs.
+    if stitch_f64:
+        hi = (jnp.complex128
+              if jnp.issubdtype(dtype, jnp.complexfloating) else jnp.float64)
+    else:
+        hi = dtype
     maskf = masks.astype(dtype)
-    bmaskf = bond_masks.astype(dtype)
+    bmaskf = bond_masks.astype(hi)
 
     # ---- 1. capture pass: fresh ALs + bond matrix at every bond ----
-    raw = jnp.concatenate([AC[None], ARs[1:]], axis=0)
+    raw = jnp.concatenate([AC[None], ARs[1:]], axis=0).astype(hi)
+
+    # The capture/re-canonicalization QRs see tensors whose dead Schmidt
+    # directions decay without bound (products of tiny bond-matrix
+    # entries): columns underflow f32 norms OR (after _sanitize) become
+    # exactly zero, and the TPU/XLA Householder QR mishandles both
+    # (measured: intermittent orth-err up to 1e6 at D=512 f32, which
+    # explodes the environment scans; the f64 QR NaNs on exactly-zero
+    # columns, see tensors/ops._svd_via_gram). Serial sweeps never hit
+    # this because eigensolve outputs carry ~eps·max noise in EVERY
+    # direction — so replicate that invariant: after sanitizing, bump the
+    # matrix diagonal by 4·eps·max (above the sanitize cutoff, at the
+    # matmul noise floor of the stitch precision).
+    bump = 4.0 * float(jnp.finfo(jnp.zeros((), hi).real.dtype).eps)
+
+    def _floored_left(Ain):
+        eta = (bump * jnp.max(jnp.abs(Ain))).astype(Ain.dtype)
+        B = Ain.reshape(-1, Ain.shape[-1])
+        B = B + eta * jnp.eye(B.shape[0], B.shape[1], dtype=Ain.dtype)
+        return B.reshape(Ain.shape)
+
+    def _floored_right(Ain):
+        eta = (bump * jnp.max(jnp.abs(Ain))).astype(Ain.dtype)
+        B = Ain.reshape(Ain.shape[0], -1)
+        B = B + eta * jnp.eye(B.shape[0], B.shape[1], dtype=Ain.dtype)
+        return B.reshape(Ain.shape)
 
     def capL(C, xs):
         A, mk, bm = xs
-        Ain = jnp.einsum("lm,mpr->lpr", C, A)
+        Ain = _floored_left(_sanitize(jnp.einsum("lm,mpr->lpr", C, A)))
         AL, Cn = leftorth(Ain)
         AL = AL * mk
         Cn = Cn * bm
@@ -133,7 +199,8 @@ def _rs_round(ARs, AC, Ws, masks, bond_masks, nseg: int, m: int,
         return Cn, (AL, Cn)
 
     _, (ALf, Cs) = jax.lax.scan(
-        capL, jnp.eye(D, dtype=dtype), (raw, maskf, bmaskf))
+        capL, jnp.eye(D, dtype=hi), (raw, maskf.astype(hi), bmaskf))
+    ALf = ALf.astype(dtype)
 
     # ---- 2. global environments ----
     GLs = compute_left_envs(ALf, Ws, left_boundary(w, D, dtype))
@@ -145,7 +212,8 @@ def _rs_round(ARs, AC, Ws, masks, bond_masks, nseg: int, m: int,
     Ws_seg = Ws.reshape(nseg, Lseg, w, w, d, d)
     masks_seg = masks.reshape(nseg, Lseg, D, d, D)
     AC0 = [AC] + [
-        jnp.einsum("lm,mpr->lpr", Cs[a - 1], ARs[a]) for a in starts[1:]]
+        jnp.einsum("lm,mpr->lpr", Cs[a - 1],
+                   ARs[a].astype(hi)).astype(dtype) for a in starts[1:]]
     AC_seg = jnp.stack(AC0)
     GL0_seg = jnp.stack([GLs[a] for a in starts])
     GRL_seg = jnp.stack([GRs[a + Lseg] for a in starts])
@@ -170,26 +238,35 @@ def _rs_round(ARs, AC, Ws, masks, bond_masks, nseg: int, m: int,
         jnp.zeros_like(ARs_seg), ARs_seg, AC_seg, Ws_seg, GRs_seg,
         GL0_seg, GRL_seg, masks_seg)
 
-    # ---- 5. stitch: centers back in, stale interface bond matrices out
-    raw_new = ARs_n.at[:, 0].set(AC_n)
-    tails = jax.vmap(_solve_right, in_axes=(0, 0, None))(
-        raw_new[:-1, -1], jnp.stack([Cs[a - 1] for a in starts[1:]]), lam_reg)
-    raw_new = raw_new.at[:-1, -1].set(tails)
-    raw_new = (raw_new.reshape(L, D, d, D) * maskf)
+    # ---- 5. stitch: centers back in, stale interface bond matrices out.
+    # Segment k>0's center was seeded as C(a_k)·AR(a_k) while segment k-1's
+    # tail keeps the state's full right-canonical weight, so the spliced
+    # chain would double-count C(a_k); divide it back out of the center
+    # (see _solve_left for why the center and not the tail).
+    heads = jax.vmap(_solve_left, in_axes=(0, 0, None))(
+        jnp.stack([Cs[a - 1] for a in starts[1:]]),
+        AC_n[1:].astype(hi), lam_reg.astype(jnp.zeros((), hi).real.dtype))
+    heads = jnp.concatenate([AC_n[:1].astype(hi),
+                             jax.vmap(_sanitize)(heads)])
+    raw_new = ARs_n.astype(hi).at[:, 0].set(heads)
+    raw_new = (raw_new.reshape(L, D, d, D) * maskf.astype(hi))
 
     # ---- 6. re-canonicalize to center 0 (masked reverse QR scan) ----
     def capR(C, xs):
         A, mk = xs
-        Ain = jnp.einsum("lpm,mr->lpr", A, C)
+        Ain = _floored_right(_sanitize(jnp.einsum("lpm,mr->lpr", A, C)))
         Cn, AR = rightorth(Ain)
         AR = AR * mk
         nrm = jnp.maximum(jnp.linalg.norm(Cn), 1e-30)
         return Cn / nrm, AR
 
     C0, ARs_out = jax.lax.scan(
-        capR, jnp.eye(D, dtype=dtype), (raw_new, maskf), reverse=True)
-    AC_out = jnp.einsum("lm,mpr->lpr", C0, ARs_out[0]) * maskf[0]
+        capR, jnp.eye(D, dtype=hi), (raw_new, maskf.astype(hi)),
+        reverse=True)
+    AC_out = jnp.einsum("lm,mpr->lpr", C0, ARs_out[0]) * maskf[0].astype(hi)
     AC_out = AC_out / jnp.maximum(jnp.linalg.norm(AC_out), 1e-30)
+    ARs_out = ARs_out.astype(dtype)
+    AC_out = AC_out.astype(dtype)
 
     n_unconv = jnp.sum(diag[0]).astype(jnp.int32)
     worst = jnp.max(diag[1])
@@ -219,8 +296,20 @@ def find_groundstate_rsdmrg(psi: FiniteMPS, H,
     w = Ws.shape[1]
     masks = jnp.asarray(support_mask(L, d, D))
     bond_masks = jnp.asarray(_bond_support_masks(L, d, D))
+    x64_on = jnp.zeros((), jnp.float64).dtype == jnp.dtype(jnp.float64)
+    is_f64 = jnp.zeros((), psi.dtype).real.dtype == jnp.dtype(jnp.float64)
+    stitch_f64 = alg.stitch_f64
+    if stitch_f64 is None:
+        stitch_f64 = (not is_f64) and x64_on and (
+            jax.default_backend() == "cpu")
     if alg.rcond is None:
-        rcond = 1e-6 if psi.dtype in (jnp.float64, jnp.complex128) else 3e-4
+        if is_f64:
+            rcond = 1e-6
+        else:
+            # f32 state: with an f64 stitch rcond only needs to sit above
+            # the f32 DATA noise; with f32 stitch arithmetic it needs the
+            # wider margin.
+            rcond = 1e-5 if stitch_f64 else 3e-4
     else:
         rcond = alg.rcond
     lam_reg = jnp.asarray(rcond ** 2, jnp.zeros((), psi.dtype).real.dtype)
@@ -241,22 +330,43 @@ def find_groundstate_rsdmrg(psi: FiniteMPS, H,
                 reorth=alg.reorth)
             eps = float(eps)
 
+        # best-iterate tracking: each round's site eigenvalue is a true
+        # Rayleigh quotient of the global H (variational, >= E0), so the
+        # lowest-lam iterate is the best state seen. The rounds are
+        # block-Jacobi and at finite precision can drift after converging
+        # (the interface division injects O(rcond·eps_stitch) per round);
+        # stop after `patience` rounds without improvement and return the
+        # best, never the drifted tail.
         lam = jnp.zeros(())
+        best = (ARs, AC, float("inf"), 1.0)
+        stall, patience = 0, 3
         it = 0
         for it in range(1, alg.maxiter + 1):
             inner_tol = updatetol(eps, it)
             ARs, AC, lam, eps, diag = _rs_round(
                 ARs, AC, Ws, masks, bond_masks, alg.nseg, alg.krylovdim,
                 alg.eig_maxrestarts, inner_tol, lam_reg, reorth=alg.reorth,
-                mesh=mesh)
+                mesh=mesh, stitch_f64=stitch_f64)
             eps = float(eps)
+            lamf = float(jnp.real(lam))
             log.solver_warn(it, diag, float(inner_tol))
             if alg.verbosity >= VERBOSE_ITER:
-                log.conv(it, float(jnp.real(lam)), eps)
+                log.conv(it, lamf, eps)
+            gain = best[2] - lamf
+            if lamf < best[2]:
+                best = (ARs, AC, lamf, eps)
             if eps < alg.tol:
+                break
+            tiny = 10 * float(jnp.finfo(
+                jnp.zeros((), psi.dtype).real.dtype).eps) * max(
+                abs(lamf), 1.0)
+            stall = 0 if gain > max(alg.tol, tiny) else stall + 1
+            if stall >= patience:
                 break
         else:
             log.cancel(it, float(jnp.real(lam)), eps)
+        if eps >= alg.tol and best[2] < float("inf"):
+            ARs, AC, _, eps = best
 
     from ..environments.finite import finite_environments
 

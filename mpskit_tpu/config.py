@@ -90,6 +90,10 @@ def matmul_precision(dtype=None):
             jnp.zeros((), dtype).real.dtype).bits == 64:
         return contextlib.nullcontext()
     try:
+        if jax.default_backend() == "cpu":
+            # the CPU emitter rejects ALG_DOT_BF16_BF16_F32_X3 at runtime
+            # (f32 matmuls are exact there anyway)
+            return contextlib.nullcontext()
         return jax.default_matmul_precision(Defaults.matmul_precision_f32)
     except Exception:  # pragma: no cover - older jax fallback
         return contextlib.nullcontext()

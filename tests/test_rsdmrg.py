@@ -67,6 +67,25 @@ def test_rsdmrg_heisenberg_matches_serial():
     assert abs(E_p - E_s) < 1e-8
 
 
+def test_rsdmrg_f32_rounds_stay_stable():
+    # float32 regression: the stitch once diverged at rank-padded bonds
+    # (TPU/XLA Householder QR mishandles underflowing or exactly-zero
+    # columns in the dead Schmidt directions; fixed by the sanitize +
+    # diagonal-floor treatment in _rs_round). Rounds must hold the energy
+    # at the f32 floor instead of drifting.
+    L, D, g = 12, 32, 1.5
+    H = transverse_field_ising(g=g, dtype=np.float64)
+    psi0 = FiniteMPS.random(jax.random.PRNGKey(3), L, 2, D,
+                            dtype=jnp.float32)
+    alg = RealSpaceParallelDMRG(nseg=4, tol=1e-12, maxiter=12, warmup=2,
+                                verbosity=0)
+    psi, envs, eps = find_groundstate_rsdmrg(psi0, H, alg)
+    E = float(expectation_value(psi, H, envs=envs))
+    E_ed = float(np.linalg.eigvalsh(H.to_matrix(L))[0])
+    assert np.isfinite(E)
+    assert abs(E - E_ed) < 5e-3 * abs(E_ed)
+
+
 def test_rsdmrg_validates_segmentation():
     H = transverse_field_ising(g=1.0, dtype=np.float64)
     psi = FiniteMPS.random(jax.random.PRNGKey(0), 10, 2, 8,
