@@ -80,6 +80,9 @@ class RealSpaceParallelDMRG:
     verbosity: int = Defaults.verbosity
     reorth: str = "local1"
     rcond: Optional[float] = None
+    # called as finalize(iter, psi, H) after every round (same contract as
+    # DMRG/VUMPS, reference dmrg.jl:19); may return a replacement state
+    finalize: Optional[object] = None
     # run the capture/stitch/re-canonicalization passes in f64 for an f32
     # state. None = auto: on only on the CPU backend with x64 enabled
     # (on TPU the emulated-f64 QR is ~25x slower AND NaNs on the zero
@@ -349,6 +352,11 @@ def find_groundstate_rsdmrg(psi: FiniteMPS, H,
                 mesh=mesh, stitch_f64=stitch_f64)
             eps = float(eps)
             lamf = float(jnp.real(lam))
+            if alg.finalize is not None:
+                cur = FiniteMPS(jnp.zeros_like(ARs), ARs, AC, 0)
+                new = alg.finalize(it, cur, H) or cur
+                ARs, AC = (jnp.array(x, copy=True)
+                           for x in (new.ARs, new.AC))
             log.solver_warn(it, diag, float(inner_tol))
             if alg.verbosity >= VERBOSE_ITER:
                 log.conv(it, lamf, eps)
