@@ -54,10 +54,11 @@ from ..environments.finite import (
     stack_W,
 )
 from ..states.finitemps import FiniteMPS, support_mask, physical_bond_dims
-from ..tensors.ops import leftorth, rightorth
+from ..tensors.ops import leftorth, rightorth, TruncationScheme, notrunc
 from ..utils.logging import IterLog
 from ..utils.dynamictols import updatetol
 from .dmrg import _dmrg_sweep, _dmrg_sweep_impl
+from .dmrg2 import _dmrg2_sweep_impl, bond_support_vectors
 
 
 @dataclasses.dataclass(frozen=True)
@@ -80,6 +81,15 @@ class RealSpaceParallelDMRG:
     verbosity: int = Defaults.verbosity
     reorth: str = "local1"
     rcond: Optional[float] = None
+    # two_site=True runs TWO-site mini-sweeps inside every segment
+    # (RS-DMRG2): each segment's interior bonds are re-split by truncated
+    # SVD every round, so a poorly seeded interior Schmidt basis is
+    # repaired in-round instead of over many one-site rounds — the
+    # block-Jacobi analogue of DMRG2 vs DMRG. Interface bonds stay
+    # one-site (they are owned by the stitch); convergence is measured by
+    # energy stationarity, as in DMRG2.
+    two_site: bool = False
+    trscheme: TruncationScheme = dataclasses.field(default_factory=notrunc)
     # called as finalize(iter, psi, H) after every round (same contract as
     # DMRG/VUMPS, reference dmrg.jl:19); may return a replacement state
     finalize: Optional[object] = None
@@ -139,10 +149,12 @@ def _solve_left(C, A, lam):
 
 
 @partial(jax.jit, static_argnums=(5, 6, 7),
-         static_argnames=("reorth", "mesh", "stitch_f64"))
+         static_argnames=("reorth", "mesh", "stitch_f64", "two_site",
+                          "trscheme"))
 def _rs_round(ARs, AC, Ws, masks, bond_masks, nseg: int, m: int,
               restarts: int, inner_tol, lam_reg, reorth: str = "local1",
-              mesh=None, stitch_f64: bool = False):
+              mesh=None, stitch_f64: bool = False, two_site: bool = False,
+              trscheme: Optional[TruncationScheme] = None):
     """One parallel round: capture → segment sweeps (vmapped) → stitch →
     re-canonicalize. State convention in/out: center 0 (AC + ARs[1:])."""
     L, D, d = ARs.shape[0], ARs.shape[1], ARs.shape[2]
@@ -232,14 +244,35 @@ def _rs_round(ARs, AC, Ws, masks, bond_masks, nseg: int, m: int,
                       GRL_seg, GRs_seg))
 
     # ---- 4. simultaneous segment mini-sweeps ----
-    def seg_sweep(ALs_k, ARs_k, AC_k, Ws_k, GRs_k, GL0_k, GRL_k, mk):
-        return _dmrg_sweep_impl(
-            ALs_k, ARs_k, AC_k, Ws_k, GRs_k, inner_tol, m, restarts,
-            GL0=GL0_k, GRL=GRL_k, masks=mk, reorth=reorth, use_fast=False)
+    if two_site:
+        # RS-DMRG2: two-site mini-sweeps with the global bond-support
+        # vectors sliced per segment (segment k owns bonds a_k..a_k+Lseg)
+        sup = jnp.asarray(bond_support_vectors(L, d, D))
+        sup_seg = jnp.stack([
+            jax.lax.dynamic_slice_in_dim(sup, a, Lseg + 1) for a in starts])
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            sup_seg = jax.lax.with_sharding_constraint(
+                sup_seg, NamedSharding(mesh, P("site")))
 
-    ALs_n, ARs_n, AC_n, _, lam, eps, diag = jax.vmap(seg_sweep)(
-        jnp.zeros_like(ARs_seg), ARs_seg, AC_seg, Ws_seg, GRs_seg,
-        GL0_seg, GRL_seg, masks_seg)
+        def seg_sweep2(ALs_k, ARs_k, AC_k, Ws_k, GRs_k, GL0_k, GRL_k, sup_k):
+            return _dmrg2_sweep_impl(
+                ALs_k, ARs_k, AC_k, Ws_k, GRs_k, inner_tol, m, restarts,
+                trscheme, GL0=GL0_k, GRL=GRL_k, sup=sup_k)
+
+        ALs_n, ARs_n, AC_n, _, lam, eps, diag = jax.vmap(seg_sweep2)(
+            jnp.zeros_like(ARs_seg), ARs_seg, AC_seg, Ws_seg, GRs_seg,
+            GL0_seg, GRL_seg, sup_seg)
+    else:
+        def seg_sweep(ALs_k, ARs_k, AC_k, Ws_k, GRs_k, GL0_k, GRL_k, mk):
+            return _dmrg_sweep_impl(
+                ALs_k, ARs_k, AC_k, Ws_k, GRs_k, inner_tol, m, restarts,
+                GL0=GL0_k, GRL=GRL_k, masks=mk, reorth=reorth,
+                use_fast=False)
+
+        ALs_n, ARs_n, AC_n, _, lam, eps, diag = jax.vmap(seg_sweep)(
+            jnp.zeros_like(ARs_seg), ARs_seg, AC_seg, Ws_seg, GRs_seg,
+            GL0_seg, GRL_seg, masks_seg)
 
     # ---- 5. stitch: centers back in, stale interface bond matrices out.
     # Segment k>0's center was seeded as C(a_k)·AR(a_k) while segment k-1's
@@ -344,14 +377,23 @@ def find_groundstate_rsdmrg(psi: FiniteMPS, H,
         best = (ARs, AC, float("inf"), 1.0)
         stall, patience = 0, 3
         it = 0
+        lam_prev = None
         for it in range(1, alg.maxiter + 1):
             inner_tol = updatetol(eps, it)
             ARs, AC, lam, eps, diag = _rs_round(
                 ARs, AC, Ws, masks, bond_masks, alg.nseg, alg.krylovdim,
                 alg.eig_maxrestarts, inner_tol, lam_reg, reorth=alg.reorth,
-                mesh=mesh, stitch_f64=stitch_f64)
-            eps = float(eps)
+                mesh=mesh, stitch_f64=stitch_f64, two_site=alg.two_site,
+                trscheme=alg.trscheme if alg.two_site else None)
             lamf = float(jnp.real(lam))
+            if alg.two_site:
+                # two-site rounds report the truncation error in `eps`;
+                # convergence is energy stationarity (as in DMRG2)
+                eps = (abs(lamf - lam_prev)
+                       if lam_prev is not None else 1.0)
+                lam_prev = lamf
+            else:
+                eps = float(eps)
             if alg.finalize is not None:
                 cur = FiniteMPS(jnp.zeros_like(ARs), ARs, AC, 0)
                 new = alg.finalize(it, cur, H) or cur

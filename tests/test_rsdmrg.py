@@ -86,6 +86,37 @@ def test_rsdmrg_f32_rounds_stay_stable():
     assert abs(E - E_ed) < 5e-3 * abs(E_ed)
 
 
+def test_rsdmrg2_matches_ed_tfim():
+    # RS-DMRG2: two-site mini-sweeps inside every segment; same ED oracle
+    # as the one-site variant, and it must converge from a WORSE seed
+    # (warmup=1) since the in-segment re-splits repair the Schmidt bases
+    L, D, g = 12, 16, 1.4
+    H = transverse_field_ising(g=g, dtype=np.float64)
+    psi0 = FiniteMPS.random(jax.random.PRNGKey(4), L, 2, D,
+                            dtype=jnp.float64)
+    alg = RealSpaceParallelDMRG(nseg=4, two_site=True, tol=1e-10,
+                                maxiter=50, warmup=1, verbosity=0)
+    psi, envs, eps = find_groundstate(psi0, H, alg)
+    E = float(expectation_value(psi, H, envs=envs))
+    E_ed = float(np.linalg.eigvalsh(H.to_matrix(L))[0])
+    assert abs(E - E_ed) < 1e-8
+
+
+def test_rsdmrg2_sharded_equals_unsharded():
+    L, D, g = 12, 12, 1.1
+    H = transverse_field_ising(g=g, dtype=np.float64)
+    psi0 = FiniteMPS.random(jax.random.PRNGKey(5), L, 2, D,
+                            dtype=jnp.float64)
+    alg = RealSpaceParallelDMRG(nseg=4, two_site=True, tol=1e-10,
+                                maxiter=30, verbosity=0)
+    mesh = make_mesh(site=4, bond=1)
+    psi_m, envs_m, _ = find_groundstate_rsdmrg(psi0, H, alg, mesh=mesh)
+    psi_u, envs_u, _ = find_groundstate_rsdmrg(psi0, H, alg)
+    E_m = float(expectation_value(psi_m, H, envs=envs_m))
+    E_u = float(expectation_value(psi_u, H, envs=envs_u))
+    assert abs(E_m - E_u) < 1e-11
+
+
 def test_rsdmrg_validates_segmentation():
     H = transverse_field_ising(g=1.0, dtype=np.float64)
     psi = FiniteMPS.random(jax.random.PRNGKey(0), 10, 2, 8,
