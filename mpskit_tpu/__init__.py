@@ -65,7 +65,7 @@ from .algorithms import (
     entropy, entanglement_spectrum, transfer_spectrum, correlation_length,
     marek_gap, variance, calc_galerkin, fidelity_susceptibility,
     exact_diagonalization, periodic_boundary_conditions, make_time_mpo,
-    infinite_temperature,
+    infinite_temperature, ChainedAlg, UnionAlg,
 )
 from .algorithms.paramscan import (
     scan_groundstate_vumps, stack_hamiltonians, ScanResult,

@@ -11,6 +11,7 @@ from .paramscan import (
     ScanResult,
 )
 from .find_groundstate import find_groundstate
+from .unionalg import ChainedAlg, UnionAlg
 from .statmech import leading_boundary, VUMPS_Boundary, VOMPS
 from .tdvp import TDVP, TDVP2, timestep
 from .time_evolve import time_evolve

@@ -28,22 +28,23 @@ from ..environments.finite import (
 )
 from ..environments.infinite_ham import hamiltonian_environments
 from .derivatives import ac2_apply
+from .unionalg import Chainable, ChainedAlg
 
 
 @dataclasses.dataclass(frozen=True)
-class SvdCut:
+class SvdCut(Chainable):
     trscheme: TruncationScheme = dataclasses.field(default_factory=notrunc)
 
 
 @dataclasses.dataclass(frozen=True)
-class RandExpand:
+class RandExpand(Chainable):
     """Expand every bond by `dims` extra directions (random seeds)."""
 
     dims: int = 8
 
 
 @dataclasses.dataclass(frozen=True)
-class OptimalExpand:
+class OptimalExpand(Chainable):
     """Expand every bond by `dims` directions chosen from the dominant
     singular vectors of the projected two-site derivative."""
 
@@ -51,7 +52,7 @@ class OptimalExpand:
 
 
 @dataclasses.dataclass(frozen=True)
-class VUMPSSvdCut:
+class VUMPSSvdCut(Chainable):
     trscheme: TruncationScheme = dataclasses.field(default_factory=notrunc)
 
 
@@ -111,6 +112,12 @@ def changebonds(psi, *args):
         alg = args[1]
         envs = args[2] if len(args) > 2 else None
 
+    if isinstance(alg, ChainedAlg):
+        # reference UnionAlg: apply each bond-management stage in sequence
+        # (e.g. ``OptimalExpand() & SvdCut()``)
+        for stage in alg:
+            psi = changebonds(psi, *((stage,) if H is None else (H, stage)))
+        return psi
     if isinstance(alg, SvdCut):
         if isinstance(psi, FiniteMPS):
             return _svdcut_finite(psi, alg)

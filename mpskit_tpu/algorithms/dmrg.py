@@ -28,10 +28,11 @@ from ..environments.finite import (
 from ..utils.logging import IterLog
 from ..utils.dynamictols import updatetol
 from .derivatives import ac_apply, ac_apply_fast
+from .unionalg import Chainable
 
 
 @dataclasses.dataclass(frozen=True)
-class DMRG:
+class DMRG(Chainable):
     """One-site DMRG parameters (reference dmrg.jl:14-20).
 
     fast_qr: use CholeskyQR2 for the gauge moves at full-rank bulk sites.

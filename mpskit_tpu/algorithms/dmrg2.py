@@ -28,10 +28,11 @@ from ..environments.finite import (
 from ..utils.logging import IterLog
 from ..utils.dynamictols import updatetol
 from .derivatives import ac2_apply
+from .unionalg import Chainable
 
 
 @dataclasses.dataclass(frozen=True)
-class DMRG2:
+class DMRG2(Chainable):
     tol: float = 1e-10
     maxiter: int = Defaults.maxiter
     krylovdim: int = Defaults.krylovdim

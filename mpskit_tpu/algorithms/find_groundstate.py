@@ -50,6 +50,15 @@ def find_groundstate(psi, H, alg=None, envs=None, tol: float = 1e-10,
             return psi, envs_out, eps
         raise TypeError(type(psi))
 
+    from .unionalg import ChainedAlg
+
+    if isinstance(alg, ChainedAlg):
+        # reference UnionAlg (unionalg.jl:4-26): run the stages in sequence,
+        # threading the state from one into the next
+        envs_out, eps = envs, None
+        for stage in alg:
+            psi, envs_out, eps = find_groundstate(psi, H, stage)
+        return psi, envs_out, eps
     if isinstance(alg, DMRG):
         return find_groundstate_dmrg(psi, H, alg)
     if isinstance(alg, DMRG2):

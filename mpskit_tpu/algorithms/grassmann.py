@@ -26,10 +26,11 @@ from ..tensors.ops import qr_pos, leftnull
 from ..environments.infinite_ham import hamiltonian_environments
 from ..utils.logging import IterLog
 from .derivatives import ac_apply
+from .unionalg import Chainable
 
 
 @dataclasses.dataclass(frozen=True)
-class GradientGrassmann:
+class GradientGrassmann(Chainable):
     tol: float = 1e-8
     maxiter: int = 300
     step0: float = 0.05

@@ -29,10 +29,11 @@ from ..environments.infinite_ham import hamiltonian_environments, pairing
 from ..utils.logging import IterLog
 from ..utils.dynamictols import updatetol
 from .derivatives import ac_apply, ac2_apply
+from .unionalg import Chainable
 
 
 @dataclasses.dataclass(frozen=True)
-class IDMRG1:
+class IDMRG1(Chainable):
     tol: float = 1e-9
     maxiter: int = Defaults.maxiter
     krylovdim: int = Defaults.krylovdim
@@ -41,7 +42,7 @@ class IDMRG1:
 
 
 @dataclasses.dataclass(frozen=True)
-class IDMRG2:
+class IDMRG2(Chainable):
     tol: float = 1e-9
     maxiter: int = Defaults.maxiter
     krylovdim: int = Defaults.krylovdim

@@ -43,6 +43,7 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 from typing import Optional
+from .unionalg import Chainable
 
 import numpy as np
 import jax
@@ -62,7 +63,7 @@ from .dmrg2 import _dmrg2_sweep_impl, bond_support_vectors
 
 
 @dataclasses.dataclass(frozen=True)
-class RealSpaceParallelDMRG:
+class RealSpaceParallelDMRG(Chainable):
     """Segment-parallel one-site DMRG.
 
     nseg: number of chain segments (must divide L; one mesh core each).

@@ -26,10 +26,11 @@ from ..environments.infinite_ham import hamiltonian_environments, InfiniteHamEnv
 from ..utils.logging import IterLog
 from ..utils.dynamictols import updatetol
 from .derivatives import ac_apply, c_apply
+from .unionalg import Chainable
 
 
 @dataclasses.dataclass(frozen=True)
-class VUMPS:
+class VUMPS(Chainable):
     tol: float = 1e-10
     maxiter: int = Defaults.maxiter
     krylovdim: int = Defaults.krylovdim
