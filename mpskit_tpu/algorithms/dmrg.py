@@ -84,7 +84,8 @@ def _galerkin_right(AR, y):
 
 def _dmrg_sweep_impl(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
                      GL0=None, GRL=None, masks=None, bulk_flags=None,
-                     reorth: str = "local1", use_fast: bool = True):
+                     reorth: str = "local1", use_fast: bool = True,
+                     cheap_galerkin: bool = False):
     """One full DMRG sweep (L2R over sites 0..L-2, R2L over L-1..1),
     starting and ending with center = 0. Returns updated tensors, fresh
     right environments, the last eigenvalue and the max Galerkin residual.
@@ -130,7 +131,14 @@ def _dmrg_sweep_impl(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
         ACp = ACp / jnp.maximum(jnp.linalg.norm(ACp), 1e-30)
         AL, C = leftorth_hybrid(ACp, bk)
         AL = AL * mk
-        eps = _galerkin_left(AL, ac_apply(GL, W, GR_next, ACp))
+        if cheap_galerkin:
+            # the Lanczos Ritz-residual bound |beta_m s_m| >= the Galerkin
+            # residual (it bounds ||H AC - lam AC||, of which the Galerkin
+            # projection keeps only the tangent part): a conservative eps
+            # that saves one full matvec per site (~6% of the sweep)
+            eps = res.residual
+        else:
+            eps = _galerkin_left(AL, ac_apply(GL, W, GR_next, ACp))
         GL_next = transfer_left_mpo(GL, W, AL, AL)
         AC_next = jnp.einsum("lm,mpr->lpr", C, AR_next)
         return (AC_next, GL_next), (AL, GL, res.eigenvalue, eps,
@@ -156,7 +164,10 @@ def _dmrg_sweep_impl(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
         ACp = ACp / jnp.maximum(jnp.linalg.norm(ACp), 1e-30)
         C, AR = rightorth_hybrid(ACp, bk)
         AR = AR * mk
-        eps = _galerkin_right(AR, ac_apply(GL_i, W, GR, ACp))
+        if cheap_galerkin:
+            eps = res.residual
+        else:
+            eps = _galerkin_right(AR, ac_apply(GL_i, W, GR, ACp))
         GR_prev = transfer_right_mpo(GR, W, AR, AR)
         AC_prev = jnp.einsum("lpm,mr->lpr", AL_prev, C)
         return (AC_prev, GR_prev), (AR, GR, res.eigenvalue, eps,
@@ -181,7 +192,8 @@ def _dmrg_sweep_impl(ALs, ARs, AC, Ws, GRs, inner_tol, m: int, restarts: int,
 
 
 _dmrg_sweep = partial(jax.jit, static_argnums=(6, 7),
-                      static_argnames=("reorth", "use_fast"),
+                      static_argnames=("reorth", "use_fast",
+                                       "cheap_galerkin"),
                       donate_argnums=(0, 1, 2, 4))(_dmrg_sweep_impl)
 
 
