@@ -404,6 +404,13 @@ def _approximate_idmrg(psi: InfiniteMPS, O, phi: InfiniteMPS, alg):
         raise ValueError("FitIDMRG2 needs a unit cell of >= 2 sites")
 
     envs = mpo_environments(phi, O, psi_bra=psi)
+    if getattr(alg, "verbosity", 0) >= 1 and float(envs.resid) > 1e-6:
+        from ..utils.logging import logger
+
+        logger.warning(
+            f"{'FitIDMRG2' if two_site else 'FitIDMRG'}: mixed environment "
+            f"fixed-point residual {float(envs.resid):.4e} (Arnoldi not "
+            "converged)")
     GLs = envs.GLs / jnp.linalg.norm(
         envs.GLs.reshape(L, -1), axis=1)[:, None, None, None]
     GRs = envs.GRs / jnp.linalg.norm(
@@ -446,6 +453,13 @@ def _approximate_infinite(psi: InfiniteMPS, O, phi: InfiniteMPS, alg):
     envs = None
     for it in range(alg.maxiter):
         envs = mpo_environments(phi, O, psi_bra=psi)
+        if getattr(alg, "verbosity", 0) >= 1 and float(envs.resid) > 1e-6:
+            from ..utils.logging import logger
+
+            logger.warning(
+                f"approximate(VOMPS): iteration {it + 1}: mixed environment "
+                f"fixed-point residual {float(envs.resid):.4e} (Arnoldi not "
+                "converged)")
         GL_next = jnp.roll(envs.GLs, -1, axis=0)
         ACs = jax.vmap(ac_apply)(envs.GLs, Os, envs.GRs, phi.AC)
         Cs = jax.vmap(c_apply)(GL_next, envs.GRs, phi.C)

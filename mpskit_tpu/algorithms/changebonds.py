@@ -102,15 +102,18 @@ def _svdcut_infinite(psi: InfiniteMPS, alg: SvdCut) -> InfiniteMPS:
 
 
 def changebonds(psi, *args):
-    """changebonds(psi, alg) or changebonds(psi, H, alg[, envs])."""
+    """changebonds(psi, alg) or changebonds(psi, H, alg[, envs]).
+
+    A trailing ``envs`` argument is accepted for reference-signature parity
+    (changebonds! in changebonds.jl takes one) but has no effect: the
+    functional expanders recompute the cheap environments they need from
+    the state."""
     if len(args) == 1:
         alg = args[0]
         H = None
-        envs = None
     else:
         H = args[0]
         alg = args[1]
-        envs = args[2] if len(args) > 2 else None
 
     if isinstance(alg, ChainedAlg):
         # reference UnionAlg: apply each bond-management stage in sequence
@@ -153,7 +156,7 @@ def _vumpssvd_cut(psi: InfiniteMPS, H, alg: "VUMPSSvdCut") -> InfiniteMPS:
                     for i in range(L)])
     ALs, ARs, AC0, GLs, GRs = psi.AL, psi.AR, psi.AC[0], envs.GLs, envs.GRs
     for _ in range(30):
-        ALs, ARs, AC0, Ss, GLs, GRs, lam, dC, err = _idmrg2_iteration(
+        ALs, ARs, AC0, Ss, GLs, GRs, lam, dC, err, _diag = _idmrg2_iteration(
             ALs, ARs, AC0, Ss, GLs, GRs, 30, 2, alg.trscheme,
             Ws=Ws, inner_tol=1e-9)
         if float(dC) < 1e-8:

@@ -53,6 +53,12 @@ class DMRG(Chainable):
     # path to ~1e-13 on the ED fixtures), "local" (adds a corrective pass)
     # or "full" (two-pass CGS against the whole basis each step).
     reorth: str = "local1"
+    # Use the Lanczos Ritz-residual bound as the per-site convergence
+    # residual instead of recomputing the exact Galerkin projection — a
+    # conservative upper bound that saves one full matvec per site (~6% of
+    # a sweep). Convergence decisions stay sound (bound >= true residual);
+    # the reported eps is then a bound, not the exact tangent residual.
+    cheap_galerkin: bool = False
 
 
 def bulk_rank_flags(L: int, d: int, D: int):
@@ -219,7 +225,7 @@ def find_groundstate_dmrg_window(psi, H, alg: DMRG = DMRG()):
         ALs, ARs, AC, GRs, lam, eps, diag = _dmrg_sweep(
             ALs, ARs, AC, Ws, GRs, inner_tol,
             alg.krylovdim, alg.eig_maxrestarts, GL0=GL0, GRL=GRL,
-            reorth=alg.reorth)
+            reorth=alg.reorth, cheap_galerkin=alg.cheap_galerkin)
         eps = float(eps)
         log.solver_warn(it, diag, float(inner_tol))
         if eps < alg.tol:
@@ -262,7 +268,8 @@ def find_groundstate_dmrg(psi: FiniteMPS, H, alg: DMRG = DMRG()):
             ALs, ARs, AC, GRs, lam, eps, diag = _dmrg_sweep(
                 ALs, ARs, AC, Ws, GRs, inner_tol,
                 alg.krylovdim, alg.eig_maxrestarts, masks=masks,
-                bulk_flags=bulk_flags, reorth=alg.reorth)
+                bulk_flags=bulk_flags, reorth=alg.reorth,
+                cheap_galerkin=alg.cheap_galerkin)
         psi = FiniteMPS(ALs, ARs, AC, 0)
         if alg.finalize is not None:
             psi = alg.finalize(it, psi, H) or psi

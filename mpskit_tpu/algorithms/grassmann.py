@@ -126,6 +126,14 @@ def find_groundstate_grassmann(psi: InfiniteMPS, H,
         alpha = min(alpha * 2.0, 1.0)
         if alg.verbosity >= VERBOSE_ITER:
             log.conv(it, e, gnorm)
+        # surface unconverged environment geometric-series solves (reference
+        # warns per solve, mpohaminfenv.jl:97-98)
+        if alg.verbosity >= 1 and float(env_guess.resid) > 1e-6:
+            from ..utils.logging import logger
+
+            logger.warning(
+                f"GradGrassmann: iteration {it}: environment GMRES residual "
+                f"{float(env_guess.resid):.4e} (not converged)")
 
     envs = hamiltonian_environments(psi, H, env_init=env_guess)
     return psi, envs, gnorm

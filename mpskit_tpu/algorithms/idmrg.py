@@ -81,10 +81,12 @@ def _idmrg1_iteration(ALs, ARs, AC0, Cs, GLs, GRs, m: int, restarts: int,
         AL, C = leftorth(res.eigenvector)
         GL_next = _reg_left(transfer_left_mpo(GL, W, AL, AL), C)
         AC_next = jnp.einsum("lm,mpr->lpr", C, AR_next)
-        return (AC_next, GL_next), (AL, C, GL_next)
+        return (AC_next, GL_next), (AL, C, GL_next, res.converged,
+                                    res.residual)
 
     xsL = (Ws, GRs, jnp.roll(ARs, -1, axis=0))
-    (AC, _), (ALs_n, CsL, GL_out) = jax.lax.scan(stepL, (AC0, GLs[0]), xsL)
+    (AC, _), (ALs_n, CsL, GL_out, convL, residL) = jax.lax.scan(
+        stepL, (AC0, GLs[0]), xsL)
     # GL_out[i] = env for site i+1; new GLs[(i+1)%L] = GL_out[i]
     GLs = jnp.roll(GL_out, 1, axis=0)
 
@@ -97,10 +99,11 @@ def _idmrg1_iteration(ALs, ARs, AC0, Cs, GLs, GRs, m: int, restarts: int,
         C, AR = rightorth(res.eigenvector)
         GR_prev = _reg_right(transfer_right_mpo(GR, W, AR, AR), C)
         AC_prev = jnp.einsum("lpm,mr->lpr", AL_prev, C)
-        return (AC_prev, GR_prev), (AR, C, GR_prev, res.eigenvalue)
+        return (AC_prev, GR_prev), (AR, C, GR_prev, res.eigenvalue,
+                                    res.converged, res.residual)
 
     xsR = (Ws, GLs, jnp.roll(ALs_n, 1, axis=0))
-    (AC, _), (ARs_n, CsR_prev, GR_out, lams) = jax.lax.scan(
+    (AC, _), (ARs_n, CsR_prev, GR_out, lams, convR, residR) = jax.lax.scan(
         stepR, (AC, GRs[L - 1]), xsR, reverse=True)
     # GR_out[i] = env for site i-1; new GRs[(i-1)%L] = GR_out[i]
     GRs = jnp.roll(GR_out, -1, axis=0)
@@ -108,7 +111,11 @@ def _idmrg1_iteration(ALs, ARs, AC0, Cs, GLs, GRs, m: int, restarts: int,
     Cs_new = jnp.roll(CsR_prev, -1, axis=0)
 
     err = jnp.linalg.norm(Cs_new[L - 1] - Cs[L - 1])
-    return ALs_n, ARs_n, AC, Cs_new, GLs, GRs, lams[0], err
+    # solver diagnostics: (# unconverged site eigensolves, worst residual)
+    # — driver warns on the host (reference fixedpoint.jl:12-14)
+    diag = ((jnp.sum(~convL) + jnp.sum(~convR)).astype(jnp.int32),
+            jnp.maximum(jnp.max(residL), jnp.max(residR)))
+    return ALs_n, ARs_n, AC, Cs_new, GLs, GRs, lams[0], err, diag
 
 
 def find_groundstate_idmrg1(psi: InfiniteMPS, H, alg: IDMRG1 = IDMRG1()):
@@ -123,10 +130,11 @@ def find_groundstate_idmrg1(psi: InfiniteMPS, H, alg: IDMRG1 = IDMRG1()):
     err = 1.0
     for it in range(1, alg.maxiter + 1):
         inner_tol = updatetol(err, it)
-        ALs, ARs, AC0, Cs, GLs, GRs, lam, err = _idmrg1_iteration(
+        ALs, ARs, AC0, Cs, GLs, GRs, lam, err, diag = _idmrg1_iteration(
             ALs, ARs, AC0, Cs, GLs, GRs, alg.krylovdim, alg.eig_maxrestarts,
             Ws=Ws, inner_tol=inner_tol)
         err = float(err)
+        log.solver_warn(it, diag, float(inner_tol))
         if alg.verbosity >= VERBOSE_ITER:
             log.conv(it, float(jnp.real(lam)), err)
         if err < alg.tol:
@@ -168,11 +176,12 @@ def _idmrg2_iteration(ALs, ARs, AC0, Ss_prev, GLs, GRs, m: int, restarts: int,
         GL_next = _reg_left(transfer_left_mpo(GL, W1, AL, AL),
                             _regC(S, AL.dtype))
         AC_next = jnp.einsum("m,mqr->mqr", S, AR)
-        return (AC_next, GL_next), (AL, S, GL_next, err)
+        return (AC_next, GL_next), (AL, S, GL_next, err, res.converged,
+                                    res.residual)
 
     xsL = (Ws, jnp.roll(Ws, -1, axis=0), jnp.roll(GRs, -1, axis=0),
            jnp.roll(ARs, -1, axis=0))
-    (AC, _), (ALs_n, SsL, GL_out, errL) = jax.lax.scan(
+    (AC, _), (ALs_n, SsL, GL_out, errL, convL, residL) = jax.lax.scan(
         stepL, (AC0, GLs[0]), xsL)
     # GL_out[i] = env left of site i+1 -> new GLs[(i+1) % L]
     GLs = jnp.roll(GL_out, 1, axis=0)
@@ -189,13 +198,14 @@ def _idmrg2_iteration(ALs, ARs, AC0, Ss_prev, GLs, GRs, m: int, restarts: int,
         GR_prev = _reg_right(transfer_right_mpo(GR, W2, AR, AR),
                              _regC(S, AR.dtype))
         AC_prev = jnp.einsum("lpm,m->lpm", AL, S)
-        return (AC_prev, GR_prev), (AR, S, GR_prev, err, res.eigenvalue)
+        return (AC_prev, GR_prev), (AR, S, GR_prev, err, res.eigenvalue,
+                                    res.converged, res.residual)
 
     xsR = (Ws, jnp.roll(Ws, -1, axis=0), GLs, ALs_n)
     # first processed bond is L-1: AC at site 0 is the L2R carry; GR right of
     # site 0 is the pre-pass GRs[0]
-    (AC, _), (ARs_shift, SsR, GR_out, errR, lams) = jax.lax.scan(
-        stepR, (AC, GRs[0]), xsR, reverse=True)
+    (AC, _), (ARs_shift, SsR, GR_out, errR, lams, convR, residR) = \
+        jax.lax.scan(stepR, (AC, GRs[0]), xsR, reverse=True)
     # ys[i] belongs to bond i: AR for site (i+1) % L, GR right of site i
     ARs_n = jnp.roll(ARs_shift, 1, axis=0)
     GRs = GR_out
@@ -203,7 +213,9 @@ def _idmrg2_iteration(ALs, ARs, AC0, Ss_prev, GLs, GRs, m: int, restarts: int,
 
     err_trunc = jnp.maximum(jnp.max(errL), jnp.max(errR))
     dC = jnp.linalg.norm(Ss_new[L - 1] - Ss_prev[L - 1])
-    return ALs_n, ARs_n, AC, Ss_new, GLs, GRs, lams[0], dC, err_trunc
+    diag = ((jnp.sum(~convL) + jnp.sum(~convR)).astype(jnp.int32),
+            jnp.maximum(jnp.max(residL), jnp.max(residR)))
+    return ALs_n, ARs_n, AC, Ss_new, GLs, GRs, lams[0], dC, err_trunc, diag
 
 
 def find_groundstate_idmrg2(psi: InfiniteMPS, H, alg: IDMRG2 = IDMRG2()):
@@ -221,10 +233,12 @@ def find_groundstate_idmrg2(psi: InfiniteMPS, H, alg: IDMRG2 = IDMRG2()):
     err = 1.0
     for it in range(1, alg.maxiter + 1):
         inner_tol = updatetol(err, it)
-        ALs, ARs, AC0, Ss, GLs, GRs, lam, err, err_trunc = _idmrg2_iteration(
+        (ALs, ARs, AC0, Ss, GLs, GRs, lam, err, err_trunc,
+         diag) = _idmrg2_iteration(
             ALs, ARs, AC0, Ss, GLs, GRs, alg.krylovdim, alg.eig_maxrestarts,
             alg.trscheme, Ws=Ws, inner_tol=inner_tol)
         err = float(err)
+        log.solver_warn(it, diag, float(inner_tol))
         if alg.verbosity >= VERBOSE_ITER:
             log.conv(it, float(jnp.real(lam)), err)
         if err < alg.tol:

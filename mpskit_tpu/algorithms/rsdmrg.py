@@ -43,7 +43,6 @@ from __future__ import annotations
 import dataclasses
 from functools import partial
 from typing import Optional
-from .unionalg import Chainable
 
 import numpy as np
 import jax
@@ -60,6 +59,7 @@ from ..utils.logging import IterLog
 from ..utils.dynamictols import updatetol
 from .dmrg import _dmrg_sweep, _dmrg_sweep_impl
 from .dmrg2 import _dmrg2_sweep_impl, bond_support_vectors
+from .unionalg import Chainable
 
 
 @dataclasses.dataclass(frozen=True)

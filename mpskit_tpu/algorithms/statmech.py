@@ -23,7 +23,7 @@ from ..states.gauging import regauge_ACC
 from ..operators.mpo import DenseMPO
 from ..operators.multiline import MPOMultiline
 from ..environments.infinite_mpo import mpo_environments
-from ..utils.logging import IterLog
+from ..utils.logging import IterLog, logger
 from ..utils.dynamictols import updatetol
 from .derivatives import ac_apply, c_apply
 
@@ -70,15 +70,15 @@ def _boundary_vumps_iteration(psi: InfiniteMPS, Os, m: int, gauge_tol: float,
         def solve_ac(GL, Oi, GR, AC):
             res = dominant_eigs(lambda x: ac_apply(GL, Oi, GR, x), AC,
                                 m, 20, inner_tol)
-            return res.eigenvector
+            return res.eigenvector, res.converged, res.residual
 
         def solve_c(GLn, GR, C):
             res = dominant_eigs(lambda x: c_apply(GLn, GR, x), C,
                                 m, 20, inner_tol)
-            return res.eigenvector
+            return res.eigenvector, res.converged, res.residual
 
-        ACs = jax.vmap(solve_ac)(envs.GLs, Os, envs.GRs, psi.AC)
-        Cs = jax.vmap(solve_c)(GL_next, envs.GRs, psi.C)
+        ACs, convA, residA = jax.vmap(solve_ac)(envs.GLs, Os, envs.GRs, psi.AC)
+        Cs, convC, residC = jax.vmap(solve_c)(GL_next, envs.GRs, psi.C)
     else:
         # in the masked (anyonic) path the physical AC/C eigenpairs are
         # real while spurious complex rotation modes can carry a larger
@@ -89,16 +89,24 @@ def _boundary_vumps_iteration(psi: InfiniteMPS, Os, m: int, gauge_tol: float,
             res = _solver(
                 lambda x: Mi * ac_apply(GL, Oi, GR, Mi * x), AC,
                 m, 20, inner_tol)
-            return res.eigenvector
+            return res.eigenvector, res.converged, res.residual
 
         def solve_c(GLn, GR, C, Mi):
             res = _solver(
                 lambda x: Mi * c_apply(GLn, GR, Mi * x), C,
                 m, 20, inner_tol)
-            return res.eigenvector
+            return res.eigenvector, res.converged, res.residual
 
-        ACs = jax.vmap(solve_ac)(envs.GLs, Os, envs.GRs, psi.AC, Am)
-        Cs = jax.vmap(solve_c)(GL_next, envs.GRs, psi.C, Cm)
+        ACs, convA, residA = jax.vmap(solve_ac)(envs.GLs, Os, envs.GRs,
+                                                psi.AC, Am)
+        Cs, convC, residC = jax.vmap(solve_c)(GL_next, envs.GRs, psi.C, Cm)
+    # solver diagnostics for the driver's IterLog.solver_warn (reference
+    # warns on unconverged fixed-point / local solves,
+    # permpoinfenv.jl:179-185, fixedpoint.jl:12-14)
+    n_unconv = (jnp.sum(~convA) + jnp.sum(~convC)).astype(jnp.int32)
+    diag = (n_unconv,
+            jnp.maximum(jnp.max(residA), jnp.max(residC)),
+            jnp.real(envs.resid))
     if A_mask is not None:
         ACs = ACs * A_mask.astype(ACs.dtype)
     if C_mask is not None:
@@ -128,7 +136,7 @@ def _boundary_vumps_iteration(psi: InfiniteMPS, Os, m: int, gauge_tol: float,
         Am = A_mask.astype(ACs.dtype)
         Cm = C_mask.astype(Cs.dtype)
         psi_new = InfiniteMPS(ALs * Am, ARs * Am, ACs * Am, Cs * Cm)
-    return psi_new, eps, envs.GLs[0], envs.GRs[L - 1]
+    return psi_new, eps, envs.GLs[0], envs.GRs[L - 1], diag
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -171,7 +179,7 @@ def _boundary_vomps_iteration(psi: InfiniteMPS, Os, gauge_tol: float,
         Am = A_mask.astype(ACs.dtype)
         Cm = C_mask.astype(Cs.dtype)
         psi_new = InfiniteMPS(ALs * Am, ARs * Am, ACs * Am, Cs * Cm)
-    return psi_new, eps, envs.GLs[0], envs.GRs[L - 1]
+    return psi_new, eps, envs.GLs[0], envs.GRs[L - 1], jnp.real(envs.resid)
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -286,15 +294,26 @@ def leading_boundary(psi, O, alg=None):
     GLg = GRg = None
     for it in range(1, alg.maxiter + 1):
         if isinstance(alg, VOMPS):
-            psi, eps, GLg, GRg = _boundary_vomps_iteration(
+            psi, eps, GLg, GRg, env_resid = _boundary_vomps_iteration(
                 psi, Os, alg.gauge_tol, 1e-12, GL_guess=GLg, GR_guess=GRg)
+            if float(env_resid) > 1e-6 and alg.verbosity >= 1:
+                logger.warning(
+                    f"leading_boundary(VOMPS): iteration {it}: environment "
+                    f"fixed-point residual {float(env_resid):.4e} (Arnoldi "
+                    "not converged)")
         else:
             inner_tol = updatetol(eps, it)
             # previous-iteration fixed points seed the env eigensolves
             # (reference permpoinfenv.jl:44-63 guess reuse)
-            psi, eps, GLg, GRg = _boundary_vumps_iteration(
+            psi, eps, GLg, GRg, diag = _boundary_vumps_iteration(
                 psi, Os, alg.krylovdim, alg.gauge_tol, 1e-12, inner_tol,
                 GL_guess=GLg, GR_guess=GRg)
+            log.solver_warn(it, diag[:2], float(inner_tol))
+            if float(diag[2]) > 1e-6 and alg.verbosity >= 1:
+                logger.warning(
+                    f"leading_boundary: iteration {it}: environment "
+                    f"fixed-point residual {float(diag[2]):.4e} (Arnoldi "
+                    "not converged)")
         eps = float(eps)
         if alg.verbosity >= VERBOSE_ITER:
             log.conv(it, 0.0, eps)
@@ -304,6 +323,14 @@ def leading_boundary(psi, O, alg=None):
         log.cancel(alg.maxiter, 0.0, eps)
 
     envs = mpo_environments(psi, DenseMPO(tuple(Os[i] for i in range(L))))
+    # reference fixedpoint.jl:9-30 warns when the dominant transfer
+    # eigenvalue is (near-)degenerate — silent wrong answers otherwise on
+    # symmetry-broken / critical boundary problems
+    if getattr(alg, "verbosity", 0) >= 1:
+        from ..linalg.fixedpoint import transfer_uniqueness_warning
+
+        transfer_uniqueness_warning(psi, Os, tol=max(alg.tol, 1e-9),
+                                    name="leading_boundary")
     return psi, envs, eps
 
 
@@ -364,6 +391,15 @@ def _leading_boundary_multiline(psi, O, alg):
         resA = dominant_eigs(mv_ac, ACs, alg.krylovdim, 20, inner_tol)
         resC = dominant_eigs(mv_c, Cs, alg.krylovdim, 20, inner_tol)
         ACs_n, Cs_n = resA.eigenvector, resC.eigenvector
+        n_unconv = int(~resA.converged) + int(~resC.converged)
+        log.solver_warn(it, (n_unconv, max(float(resA.residual),
+                                           float(resC.residual))), inner_tol)
+        env_resid = max(float(jnp.real(e.resid)) for e in envs)
+        if env_resid > 1e-6 and alg.verbosity >= 1:
+            logger.warning(
+                f"leading_boundary_multiline: iteration {it}: environment "
+                f"fixed-point residual {env_resid:.4e} (Arnoldi not "
+                "converged)")
 
         rows_new = []
         eps_rows = []

@@ -19,7 +19,8 @@ import jax
 import jax.numpy as jnp
 
 from ..config import Defaults
-from ..linalg.expm import expm_multiply
+from ..linalg.expm import expm_multiply, expm_multiply_err
+from ..utils.logging import logger
 from ..states.finitemps import FiniteMPS
 from ..states.infinitemps import InfiniteMPS
 from ..states.gauging import regauge_ACC
@@ -40,6 +41,9 @@ class TDVP:
     env_tol: float = 1e-12
     verbosity: int = Defaults.verbosity
     finalize: Optional[Callable] = None
+    # warn when the worst per-site Krylov-exponential truncation estimate
+    # exceeds this (relative; Saad a-posteriori bound from expm_multiply_err)
+    exp_tol: float = 1e-6
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,6 +52,24 @@ class TDVP2:
     trscheme: object = None
     verbosity: int = Defaults.verbosity
     finalize: Optional[Callable] = None
+    exp_tol: float = 1e-6
+
+
+def _warn_exp(alg, exp_err, env_resid=None, name="TDVP"):
+    """Host-side solver-quality warnings (reference: KrylovKit convergence
+    info surfaced by exponentiate/linsolve callers, e.g.
+    environments/permpoinfenv.jl:179-185)."""
+    if getattr(alg, "verbosity", 0) < 1:
+        return
+    e = float(exp_err)
+    if e > getattr(alg, "exp_tol", 1e-6):
+        logger.warning(
+            f"{name}: Krylov exponential truncation estimate {e:.4e} exceeds "
+            f"exp_tol {alg.exp_tol:.0e} — increase expalg_m or reduce dt")
+    if env_resid is not None and float(env_resid) > 1e-6:
+        logger.warning(
+            f"{name}: environment geometric-series GMRES residual "
+            f"{float(env_resid):.4e} (not converged)")
 
 
 # ----------------------------------------------------------------------------
@@ -64,19 +86,21 @@ def _timestep_infinite(psi: InfiniteMPS, H, dt, m: int, gauge_tol: float,
     tau = -1j * dt
 
     def evolve_ac(GL, W, GR, AC):
-        return expm_multiply(lambda x: ac_apply(GL, W, GR, x), AC, tau, m)
+        return expm_multiply_err(lambda x: ac_apply(GL, W, GR, x), AC, tau, m)
 
     def evolve_c(GL_next, GR, C):
-        return expm_multiply(lambda x: c_apply(GL_next, GR, x), C, tau, m)
+        return expm_multiply_err(lambda x: c_apply(GL_next, GR, x), C, tau, m)
 
     GL_next = jnp.roll(envs.GLs, -1, axis=0)
-    ACs = jax.vmap(evolve_ac)(envs.GLs, Ws, envs.GRs, psi.AC)
-    Cs = jax.vmap(evolve_c)(GL_next, envs.GRs, psi.C)
+    ACs, errA = jax.vmap(evolve_ac)(envs.GLs, Ws, envs.GRs, psi.AC)
+    Cs, errC = jax.vmap(evolve_c)(GL_next, envs.GRs, psi.C)
+    exp_err = jnp.maximum(jnp.max(errA), jnp.max(errC))
     ACs = ACs / jnp.linalg.norm(ACs.reshape(L, -1), axis=1)[:, None, None, None]
     Cs = Cs / jnp.linalg.norm(Cs.reshape(L, -1), axis=1)[:, None, None]
 
     ALs = jax.vmap(regauge_ACC)(ACs, Cs)
-    return InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol), envs
+    return (InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol), envs,
+            exp_err)
 
 
 # ----------------------------------------------------------------------------
@@ -101,14 +125,15 @@ def _timestep_finite(ALs, ARs, AC, Ws, GRs, m: int, dt=0.01,
     def stepL(carry, xs):
         AC, GL = carry
         W, AR_next, GR_next, is_last = xs
-        AC = expm_multiply(lambda x: ac_apply(GL, W, GR_next, x), AC, tau, m)
+        AC, errA = expm_multiply_err(
+            lambda x: ac_apply(GL, W, GR_next, x), AC, tau, m)
         AL, C = leftorth(AC)
         GL_next = transfer_left_mpo(GL, W, AL, AL)
         # backward-evolve the bond (skipped on the last site)
-        C = jax.lax.cond(
+        C, errC = jax.lax.cond(
             is_last,
-            lambda C: C,
-            lambda C: expm_multiply(
+            lambda C: (C, jnp.zeros((), errA.dtype)),
+            lambda C: expm_multiply_err(
                 lambda x: c_apply(GL_next, GR_next, x), C, -tau, m),
             C,
         )
@@ -116,41 +141,43 @@ def _timestep_finite(ALs, ARs, AC, Ws, GRs, m: int, dt=0.01,
         # on the last site keep AC = AL C as the carry (it is the final AC)
         AC_last = jnp.einsum("lpm,mr->lpr", AL, C)
         AC_next = jnp.where(is_last, AC_last, AC_next)
-        return (AC_next, GL_next), (AL, GL)
+        return (AC_next, GL_next), (AL, GL, jnp.maximum(errA, errC))
 
     is_last = jnp.arange(L) == L - 1
     # GR for site i is GRs[i+1] (GRs[L] is the boundary)
     xsL = (Ws, jnp.roll(ARs, -1, axis=0), GRs[1:], is_last)
-    (AC, _), (ALs_n, GLs_scan) = jax.lax.scan(stepL, (AC, GL0), xsL)
+    (AC, _), (ALs_n, GLs_scan, errsL) = jax.lax.scan(stepL, (AC, GL0), xsL)
     ALs = ALs_n
     GLs = GLs_scan  # GLs[i] = env left of site i
 
     def stepR(carry, xs):
         AC, GR = carry
         W, AL_prev, GL_i, is_first = xs
-        AC = expm_multiply(lambda x: ac_apply(GL_i, W, GR, x), AC, tau, m)
+        AC, errA = expm_multiply_err(
+            lambda x: ac_apply(GL_i, W, GR, x), AC, tau, m)
         C, AR = rightorth(AC)
         GR_prev = transfer_right_mpo(GR, W, AR, AR)
-        C = jax.lax.cond(
+        C, errC = jax.lax.cond(
             is_first,
-            lambda C: C,
-            lambda C: expm_multiply(
+            lambda C: (C, jnp.zeros((), errA.dtype)),
+            lambda C: expm_multiply_err(
                 lambda x: c_apply(GL_i, GR_prev, x), C, -tau, m),
             C,
         )
         AC_prev = jnp.einsum("lpm,mr->lpr", AL_prev, C)
         AC_first = jnp.einsum("lm,mpr->lpr", C, AR)
         AC_prev = jnp.where(is_first, AC_first, AC_prev)
-        return (AC_prev, GR_prev), (AR, GR)
+        return (AC_prev, GR_prev), (AR, GR, jnp.maximum(errA, errC))
 
     is_first = jnp.arange(L) == 0
     xsR = (Ws, jnp.roll(ALs, 1, axis=0), GLs, is_first)
-    (AC, _), (ARs_n, GRs_scan) = jax.lax.scan(stepR, (AC, GRL), xsR,
-                                              reverse=True)
+    (AC, _), (ARs_n, GRs_scan, errsR) = jax.lax.scan(stepR, (AC, GRL), xsR,
+                                                     reverse=True)
     ARs = ARs.at[1:].set(ARs_n[1:])
     # fresh right envs: ys[i] = GR right of site i; GRs_new[i] pairs site i-1
     GRs_new = jnp.concatenate([GRs_scan[0][None], GRs_scan], axis=0)
-    return ALs, ARs, AC, GRs_new
+    exp_err = jnp.maximum(jnp.max(errsL), jnp.max(errsR))
+    return ALs, ARs, AC, GRs_new, exp_err
 
 
 def timestep(psi, H, t, dt, alg=None, envs=None):
@@ -169,9 +196,10 @@ def timestep(psi, H, t, dt, alg=None, envs=None):
 
     if isinstance(psi, InfiniteMPS):
         # envs from the previous step warm-start the environment solves
-        psi, envs = _timestep_infinite(psi, H, dt, alg.expalg_m,
-                                       alg.gauge_tol, alg.env_tol,
-                                       env_guess=envs)
+        psi, envs, exp_err = _timestep_infinite(psi, H, dt, alg.expalg_m,
+                                                alg.gauge_tol, alg.env_tol,
+                                                env_guess=envs)
+        _warn_exp(alg, exp_err, env_resid=envs.resid, name="TDVP(infinite)")
         return psi, envs
 
     if isinstance(psi, FiniteMPS):
@@ -182,8 +210,9 @@ def timestep(psi, H, t, dt, alg=None, envs=None):
         Ws = stack_W(H, L).astype(psi.dtype)
         wdim = Ws.shape[1]
         GRs = compute_right_envs(psi.ARs, Ws, right_boundary(wdim, D, psi.dtype))
-        ALs, ARs, AC, GRs = _timestep_finite(
+        ALs, ARs, AC, GRs, exp_err = _timestep_finite(
             psi.ALs, psi.ARs, psi.AC, Ws, GRs, alg.expalg_m, dt=dt)
+        _warn_exp(alg, exp_err, name="TDVP(finite)")
         return FiniteMPS(ALs, ARs, AC, 0), None
 
     from ..states.windowmps import WindowMPS
@@ -196,12 +225,15 @@ def timestep(psi, H, t, dt, alg=None, envs=None):
             # threads ((lenvs, renvs)) across steps to warm-start the four
             # geometric-series solves.
             lenvs, renvs = envs if envs is not None else (None, None)
-            left_gs, lenvs = _timestep_infinite(
+            left_gs, lenvs, errL = _timestep_infinite(
                 psi.left_gs, H.left, dt, alg.expalg_m, alg.gauge_tol,
                 alg.env_tol, env_guess=lenvs)
-            right_gs, renvs = _timestep_infinite(
+            right_gs, renvs, errR = _timestep_infinite(
                 psi.right_gs, H.right, dt, alg.expalg_m, alg.gauge_tol,
                 alg.env_tol, env_guess=renvs)
+            _warn_exp(alg, jnp.maximum(errL, errR),
+                      env_resid=jnp.maximum(lenvs.resid, renvs.resid),
+                      name="TDVP(window boundaries)")
             psi = WindowMPS(left_gs, psi.window, right_gs)
             win = psi.window.move_center(0)
             L = win.length
@@ -210,9 +242,10 @@ def timestep(psi, H, t, dt, alg=None, envs=None):
                 H.left, H_right=H.right, env_init=(lenvs, renvs),
                 return_envs=True)
             GRs = compute_right_envs(win.ARs, Ws, GRL)
-            ALs, ARs, AC, GRs = _timestep_finite(
+            ALs, ARs, AC, GRs, exp_err = _timestep_finite(
                 win.ALs, win.ARs, win.AC, Ws, GRs, alg.expalg_m, dt=dt,
                 GL0=GL0, GRL=GRL)
+            _warn_exp(alg, exp_err, name="TDVP(window)")
             return WindowMPS(left_gs, FiniteMPS(ALs, ARs, AC, 0),
                              right_gs), (lenvs, renvs)
 
@@ -224,9 +257,10 @@ def timestep(psi, H, t, dt, alg=None, envs=None):
         Ws = stack_W(H, L).astype(win.dtype)
         GL0, GRL = psi.boundary_envs(H)
         GRs = compute_right_envs(win.ARs, Ws, GRL)
-        ALs, ARs, AC, GRs = _timestep_finite(
+        ALs, ARs, AC, GRs, exp_err = _timestep_finite(
             win.ALs, win.ARs, win.AC, Ws, GRs, alg.expalg_m, dt=dt,
             GL0=GL0, GRL=GRL)
+        _warn_exp(alg, exp_err, name="TDVP(window, frozen)")
         return WindowMPS(psi.left_gs, FiniteMPS(ALs, ARs, AC, 0),
                          psi.right_gs), None
 
@@ -257,8 +291,9 @@ def _timestep_finite2_entry(psi: FiniteMPS, H, dt, alg: TDVP2):
     Ws = stack_W(H, L).astype(psi.dtype)
     wdim = Ws.shape[1]
     GRs = compute_right_envs(psi.ARs, Ws, right_boundary(wdim, D, psi.dtype))
-    ALs, ARs, AC, GRs = _timestep_finite2(
+    ALs, ARs, AC, GRs, exp_err = _timestep_finite2(
         psi.ALs, psi.ARs, psi.AC, Ws, GRs, alg.expalg_m, trscheme, dt=dt)
+    _warn_exp(alg, exp_err, name="TDVP2")
     return FiniteMPS(ALs, ARs, AC, 0), None
 
 
@@ -284,26 +319,26 @@ def _timestep_finite2(ALs, ARs, AC, Ws, GRs, m: int, trscheme, dt=0.01):
         AC, GL = carry  # AC at site i
         W1, W2, AR_next, GR_next2, is_last = xs
         theta = jnp.einsum("lpm,mqr->lpqr", AC, AR_next)
-        theta = expm_multiply(
+        theta, errT = expm_multiply_err(
             lambda x: ac2_apply(GL, W1, W2, GR_next2, x), theta, tau, m)
         AL, S, AR = split2(theta)
         GL_next = transfer_left_mpo(GL, W1, AL, AL)
         AC_next = jnp.einsum("m,mqr->mqr", S, AR)
         # backward one-site evolution of the new center (skip on last bond)
-        AC_next = jax.lax.cond(
+        AC_next, errB = jax.lax.cond(
             is_last,
-            lambda x: x,
-            lambda x: expm_multiply(
+            lambda x: (x, jnp.zeros((), errT.dtype)),
+            lambda x: expm_multiply_err(
                 lambda y: ac_apply(GL_next, W2, GR_next2, y), x, -tau, m),
             AC_next,
         )
-        return (AC_next, GL_next), (AL, GL)
+        return (AC_next, GL_next), (AL, GL, jnp.maximum(errT, errB))
 
     # bond i = (i, i+1), i = 0..L-2; GR of site i+1 is GRs[i+2]
     GR2 = jnp.concatenate([GRs[2:], GRL[None]], axis=0)  # (L-1 needed)
     is_last = jnp.arange(L - 1) == L - 2
     xsL = (Ws[:-1], Ws[1:], ARs[1:], GR2[: L - 1], is_last)
-    (AC, _), (ALs_n, GLs_scan) = jax.lax.scan(stepL, (AC, GL0), xsL)
+    (AC, _), (ALs_n, GLs_scan, errsL) = jax.lax.scan(stepL, (AC, GL0), xsL)
     ALs = ALs.at[: L - 1].set(ALs_n)
     GLs = jnp.concatenate([GLs_scan, GLs_scan[-1][None]], axis=0)[:L]
 
@@ -311,25 +346,26 @@ def _timestep_finite2(ALs, ARs, AC, Ws, GRs, m: int, trscheme, dt=0.01):
         AC, GR = carry  # AC at site i+1
         W1, W2, AL_prev, GL_i, is_first = xs
         theta = jnp.einsum("lpm,mqr->lpqr", AL_prev, AC)
-        theta = expm_multiply(
+        theta, errT = expm_multiply_err(
             lambda x: ac2_apply(GL_i, W1, W2, GR, x), theta, tau, m)
         AL, S, AR = split2(theta)
         GR_prev = transfer_right_mpo(GR, W2, AR, AR)
         AC_prev = jnp.einsum("lpm,m->lpm", AL, S)
-        AC_prev = jax.lax.cond(
+        AC_prev, errB = jax.lax.cond(
             is_first,
-            lambda x: x,
-            lambda x: expm_multiply(
+            lambda x: (x, jnp.zeros((), errT.dtype)),
+            lambda x: expm_multiply_err(
                 lambda y: ac_apply(GL_i, W1, GR_prev, y), x, -tau, m),
             AC_prev,
         )
-        return (AC_prev, GR_prev), (AR, GR)
+        return (AC_prev, GR_prev), (AR, GR, jnp.maximum(errT, errB))
 
     is_first = jnp.arange(L - 1) == 0
     xsR = (Ws[:-1], Ws[1:], ALs[: L - 1], GLs[: L - 1], is_first)
-    (AC, _), (ARs_n, GRs_scan) = jax.lax.scan(stepR, (AC, GRL), xsR,
-                                              reverse=True)
+    (AC, _), (ARs_n, GRs_scan, errsR) = jax.lax.scan(stepR, (AC, GRL), xsR,
+                                                     reverse=True)
     ARs = ARs.at[1:].set(ARs_n)
     GRs_new = jnp.concatenate(
         [GRs_scan[0][None], GRs_scan[0][None], GRs_scan], axis=0)[: L + 1]
-    return ALs, ARs, AC, GRs_new
+    exp_err = jnp.maximum(jnp.max(errsL), jnp.max(errsR))
+    return ALs, ARs, AC, GRs_new, exp_err

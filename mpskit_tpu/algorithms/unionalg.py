@@ -2,10 +2,14 @@
 
 The reference lets users write ``DMRG2(...) & DMRG(...)`` or
 ``OptimalExpand() & SvdCut()``: the combined algorithm applies each stage
-in sequence, threading the state (and environments, where the driver
-returns them) from one stage into the next. Here every algorithm
-dataclass inherits :class:`Chainable`, and the dispatchers
-(`find_groundstate`, `changebonds`) accept the resulting
+in sequence, threading the state from one stage into the next.
+Environments are NOT handed off between stages: in the functional design
+they are plain pytrees rebuilt by one `lax.scan` (finite) or a few
+warm-startable GMRES solves (infinite) inside each driver, so each stage
+recomputes them from the incoming state — unlike the reference's mutable
+env caches, there is no invalidation state worth carrying across a stage
+boundary. Here every algorithm dataclass inherits :class:`Chainable`, and
+the dispatchers (`find_groundstate`, `changebonds`) accept the resulting
 :class:`ChainedAlg`.
 """
 

@@ -162,12 +162,12 @@ def calc_lw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12, GL_init=None):
                 guess = guess - pairing(guess, cap) * eye
             x0, r = linsolve_info(matvec_reg, F_reg, x0=guess, a0=1.0,
                                   a1=-1.0, tol=tol, restart=_ENV_RESTART,
-                                  maxiter=_ENV_MAXITER)
+                                  maxiter=_ENV_MAXITER, stall_exit=True)
             resid = jnp.maximum(resid, jnp.real(r))
         else:  # DIAG_SCALAR / DIAG_GENERAL: spectral radius assumed < 1
             x0, r = linsolve_info(diag_cycle, F, x0=guess, a0=1.0, a1=-1.0,
                                   tol=tol, restart=_ENV_RESTART,
-                                  maxiter=_ENV_MAXITER)
+                                  maxiter=_ENV_MAXITER, stall_exit=True)
             resid = jnp.maximum(resid, jnp.real(r))
 
         # propagate around the cell to fill every bond
@@ -246,12 +246,12 @@ def calc_rw(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12, GR_init=None):
                 guess = guess - pairing(guess, cap) * eye
             x0, r = linsolve_info(matvec_reg, F_reg, x0=guess, a0=1.0,
                                   a1=-1.0, tol=tol, restart=_ENV_RESTART,
-                                  maxiter=_ENV_MAXITER)
+                                  maxiter=_ENV_MAXITER, stall_exit=True)
             resid = jnp.maximum(resid, jnp.real(r))
         else:
             x0, r = linsolve_info(diag_cycle, F, x0=guess, a0=1.0, a1=-1.0,
                                   tol=tol, restart=_ENV_RESTART,
-                                  maxiter=_ENV_MAXITER)
+                                  maxiter=_ENV_MAXITER, stall_exit=True)
             resid = jnp.maximum(resid, jnp.real(r))
 
         _, xs_all = cycle(x0)
@@ -361,7 +361,7 @@ def calc_envs_paired(psi: InfiniteMPS, H: MPOHamiltonian, tol=1e-12,
                                        GR_init[L - 1, a]]).astype(dtype))
             x0, r = linsolve_info(matvec_reg, reg(F), x0=guess, a0=1.0,
                                   a1=-1.0, tol=tol, restart=_ENV_RESTART,
-                                  maxiter=_ENV_MAXITER)
+                                  maxiter=_ENV_MAXITER, stall_exit=True)
             resid = jnp.maximum(resid, jnp.real(r))
 
         # propagate around the cell to fill every bond

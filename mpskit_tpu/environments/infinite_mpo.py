@@ -29,9 +29,14 @@ class InfiniteMPOEnv:
     GLs: jnp.ndarray
     GRs: jnp.ndarray
     lambda_cell: jnp.ndarray
+    # worst relative residual of the two dominant-eigenpair Arnoldi solves
+    # (the reference warns per unconverged fixed-point solve,
+    # permpoinfenv.jl:179-185; drivers surface this via IterLog.solver_warn)
+    resid: jnp.ndarray = dataclasses.field(
+        default_factory=lambda: jnp.zeros(()))
 
     def tree_flatten(self):
-        return (self.GLs, self.GRs, self.lambda_cell), None
+        return (self.GLs, self.GRs, self.lambda_cell, self.resid), None
 
     @classmethod
     def tree_unflatten(cls, aux, children):
@@ -144,7 +149,8 @@ def mpo_environments(psi_ket: InfiniteMPS, O: DenseMPO,
     vals = jnp.stack(vals)
     GRs = GRs / vals[:, None, None, None]
 
-    return InfiniteMPOEnv(GLs, GRs, lam)
+    env_resid = jnp.maximum(jnp.real(resL.residual), jnp.real(resR.residual))
+    return InfiniteMPOEnv(GLs, GRs, lam, env_resid)
 
 
 def mpo_transfer_leading(psi: InfiniteMPS, O: DenseMPO):

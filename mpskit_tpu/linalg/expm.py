@@ -23,10 +23,7 @@ from .lanczos import lanczos_factorize, _tridiag
 from .arnoldi import arnoldi_factorize
 
 
-@partial(jax.jit, static_argnums=(0, 3))
-def expm_multiply(matvec: Callable, v, tau, m: int = 30):
-    """exp(tau*A) v with A Hermitian. The Krylov dimension m is static; for
-    |tau|*||A|| beyond ~10 increase m or split the step."""
+def _expm_multiply_impl(matvec: Callable, v, tau, m: int):
     n0 = tree_norm(v)
     V, alpha, beta, nvalid = lanczos_factorize(matvec, v, m)
     T = _tridiag(alpha, beta, nvalid, 0.0)
@@ -37,7 +34,29 @@ def expm_multiply(matvec: Callable, v, tau, m: int = 30):
     # the factorization itself (invalid rows are zero so they don't mix)
     coeff = evecs @ (jnp.exp(tau * evals) * (evecs.conj().T @ e1))
     y = basis_combine(V, coeff)
-    return tree_scale(n0, y)
+    # Saad's a-posteriori estimate of the Krylov truncation error: the norm
+    # of the first neglected term, |beta_last| * |coeff_last| (relative to
+    # ||v||). KrylovKit's exponentiate reports the analogous info.normres,
+    # which the reference surfaces when unconverged.
+    last = jnp.clip(nvalid - 1, 0, m - 1)
+    err = jnp.abs(beta[last]) * jnp.abs(coeff[last])
+    return tree_scale(n0, y), err
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def expm_multiply(matvec: Callable, v, tau, m: int = 30):
+    """exp(tau*A) v with A Hermitian. The Krylov dimension m is static; for
+    |tau|*||A|| beyond ~10 increase m or split the step."""
+    return _expm_multiply_impl(matvec, v, tau, m)[0]
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def expm_multiply_err(matvec: Callable, v, tau, m: int = 30):
+    """exp(tau*A) v plus a relative Krylov truncation-error estimate
+    (|beta_last * coeff_last|) — drivers aggregate the worst estimate per
+    step and warn on the host when the Krylov dimension was too small
+    (the reference's exponentiate convergence warnings)."""
+    return _expm_multiply_impl(matvec, v, tau, m)
 
 
 @partial(jax.jit, static_argnums=(0, 3))

@@ -11,55 +11,146 @@ import jax.numpy as jnp
 
 from ..utils.tree import tree_norm, tree_add, tree_scale
 from .basis import basis_combine
-from .arnoldi import arnoldi_factorize
 
 _TINY = 1e-30
 
 
-def gmres_restarted(op: Callable, b, x0, tol, restart: int = 30,
-                    maxiter: int = 40):
-    """Restarted GMRES with a per-cycle STAGNATION exit.
+def _givens(a, b_real):
+    """Complex Givens rotation zeroing a REAL non-negative subdiagonal b
+    under a (possibly complex) diagonal a: returns (c, s, r) with
+    [c s; -conj(s) c] @ [a; b] = [r; 0], c real."""
+    aa = jnp.abs(a)
+    t = jnp.sqrt(aa * aa + b_real * b_real)
+    safe_t = jnp.maximum(t, _TINY)
+    c = aa / safe_t
+    phase = jnp.where(aa > _TINY, a / jnp.maximum(aa, _TINY),
+                      jnp.ones((), a.dtype))
+    s = phase * (b_real / safe_t).astype(a.dtype)
+    r = phase * t.astype(a.dtype)
+    # a == 0, b > 0: swap rows
+    swap = aa <= _TINY
+    c = jnp.where(swap, 0.0, c)
+    s = jnp.where(swap, jnp.ones((), a.dtype), s)
+    r = jnp.where(swap, b_real.astype(a.dtype), r)
+    return c.astype(a.dtype), s, r
 
-    Each cycle is one m-step Arnoldi factorization of `op` started from the
-    current residual, followed by the (m+1, m) Hessenberg least-squares
-    update; the cycle's own least-squares residual is the convergence
-    measure (no extra matvec). The loop stops at `tol` (relative to ||b||),
-    at `maxiter` cycles, or after TWO consecutive cycles that fail to
-    reduce the residual by 30% — restarted GMRES at the dtype noise floor
-    otherwise repeats full cycles forever (measured on v5e: the D=256 f32
-    VUMPS environment solves floor at ~2.5e-4 relative, so a 1e-6 target
-    burnt the whole 40-cycle budget, ~1200 transfer matvecs, for nothing).
+
+def _gmres_cycle_adaptive(op: Callable, r, beta, m: int, exit_tol,
+                          passes: int = 1, stall_exit: bool = False):
+    """One ADAPTIVE GMRES cycle: Arnoldi from r/beta with an incrementally
+    Givens-rotated Hessenberg so the least-squares residual is available at
+    EVERY step; stops at `exit_tol` (absolute, on the LS estimate), at
+    breakdown, or after m steps. Returns (dx, est, steps): the correction to
+    add to x, the final LS-residual estimate, and the step count.
+
+    stall_exit additionally stops on a 4-step stall (< 5% improvement per
+    step). ONLY safe for operators with LINEAR GMRES convergence — gapped
+    geometric-series transfer solves, where a plateau IS the dtype floor.
+    Indefinite spectra (e.g. shifted Hamiltonians in DynamicalDMRG) show
+    plateau-then-breakthrough behavior that a stall exit would abort
+    (measured: the dense indefinite linsolve test stalls at 3e-1), so the
+    default keeps the full cycle.
+
+    Replaces the fixed-trip-count cycle of the previous design: a
+    warm-started geometric-series solve that needs 3 steps no longer burns
+    the full m matvecs + CGS passes (the round-3 VUMPS trace: the env GMRES
+    ran 9 fixed 12-step cycles, ~80% of the iteration time)."""
+    from .basis import basis_zeros, basis_get, basis_set, basis_inner_all
+
+    v0 = tree_scale(1.0 / jnp.maximum(beta, _TINY), r)
+    V = basis_set(basis_zeros(v0, m + 1), 0, v0)
+    cdt = basis_inner_all(V, v0).dtype
+    R = jnp.zeros((m + 1, m), cdt)       # rotated (triangular) columns
+    Q = jnp.eye(m + 1, dtype=cdt)        # accumulated rotations
+    rdt = jnp.zeros((), cdt).real.dtype
+
+    def body(state):
+        V, R, Q, j, est, prev_est, stalls = state
+        w = op(basis_get(V, j))
+        c1 = basis_inner_all(V, w)
+        w = tree_add(w, basis_combine(V, c1), alpha=-1.0)
+        if passes > 1:
+            c2 = basis_inner_all(V, w)
+            w = tree_add(w, basis_combine(V, c2), alpha=-1.0)
+            c1 = c1 + c2
+        hb = tree_norm(w)
+        wn = tree_scale(
+            jnp.where(hb > _TINY, 1.0 / jnp.maximum(hb, _TINY), 0.0), w)
+        V = basis_set(V, j + 1, wn)
+        # rotate the new column by all previous rotations at once (Q is the
+        # accumulated product), then generate this step's rotation
+        hcol = Q @ c1.astype(cdt)
+        a = hcol[j]
+        gc, gs, gr = _givens(a, hb.astype(rdt))
+        hcol = hcol.at[j].set(gr)
+        # entries below j are zero already (c1[k]=0 for k>j, Q lower rows)
+        R = R.at[:, j].set(hcol)
+        rowj = Q[j]
+        rowj1 = Q[j + 1]
+        Q = Q.at[j].set(gc * rowj + gs * rowj1)
+        Q = Q.at[j + 1].set(-jnp.conj(gs) * rowj + gc * rowj1)
+        # LS residual estimate: |beta * Q[j+1, 0]|
+        est_new = beta * jnp.abs(Q[j + 1, 0])
+        improving = est_new < 0.95 * est
+        stalls = jnp.where(improving, 0, stalls + 1)
+        return V, R, Q, j + 1, est_new.astype(rdt), est, stalls
+
+    max_stalls = 4 if stall_exit else m + 1
+
+    def cond(state):
+        _, _, _, j, est, _, stalls = state
+        return jnp.logical_and(
+            j < m,
+            jnp.logical_and(est > exit_tol, stalls < max_stalls))
+
+    init = (V, R, Q, jnp.zeros((), jnp.int32), beta.astype(rdt),
+            jnp.array(jnp.inf, rdt), jnp.zeros((), jnp.int32))
+    V, R, Q, j, est, _, _ = jax.lax.while_loop(cond, body, init)
+
+    # solve the leading j-by-j triangular block: mask unfilled columns to
+    # the identity so the padded solve is well-posed, then zero the slack y.
+    # A tiny diagonal floor guards breakdown-step columns (jnp.linalg.solve
+    # rather than solve_triangular: LU of a triangular matrix is trivial and
+    # this lowering is already proven inside TPU while_loop bodies here).
+    colmask = jnp.arange(m) < j
+    Rm = R[:m] * colmask[None, :].astype(cdt) + \
+        jnp.diag((~colmask).astype(cdt))
+    dmag = jnp.abs(jnp.diagonal(Rm))
+    floor = 100 * jnp.finfo(rdt).eps * jnp.maximum(jnp.max(dmag), _TINY)
+    Rm = Rm + jnp.diag(jnp.where(dmag < floor, floor, 0.0).astype(cdt))
+    g = (beta.astype(cdt) * Q[:m, 0]) * colmask.astype(cdt)
+    y = jnp.linalg.solve(Rm, g)
+    y = y * colmask.astype(cdt)
+    dx = basis_combine(V, jnp.pad(y, (0, 1)))
+    return dx, est, j
+
+
+def gmres_restarted(op: Callable, b, x0, tol, restart: int = 30,
+                    maxiter: int = 40, stall_exit: bool = False):
+    """Restarted ADAPTIVE GMRES with per-step and per-cycle exits.
+
+    Each cycle is an adaptive (Givens-monitored) Arnoldi factorization of
+    `op` started from the current TRUE residual — it stops mid-cycle at the
+    target or at the dtype noise floor (see _gmres_cycle_adaptive). The
+    outer loop stops at `tol` (relative to ||b||), at `maxiter` cycles, or
+    after TWO consecutive cycles that fail to reduce the TRUE residual by
+    30% — the least-squares estimate keeps "improving" below the dtype
+    floor (measured 3e-5 estimated vs 3e-4 true at D=256 f32), so the
+    cycle-end true residual (one extra matvec) drives the stagnation test
+    and seeds the next cycle.
 
     Returns (x, relres, cycles)."""
     bnorm = tree_norm(b)
     m = restart
+    abs_tol = tol * jnp.maximum(bnorm, _TINY)
 
     def cycle(state):
         x, r, prev, it, stalls = state
         beta = tree_norm(r)
-        V, H, nvalid = arnoldi_factorize(op, r, m, passes=1)
-        # restrict to the nvalid leading columns (post-breakdown columns of
-        # H are zero apart from numerical junk — mask them out)
-        colmask = jnp.arange(m) < nvalid
-        Hm = H * colmask[None, :].astype(H.dtype)
-        e1 = jnp.zeros((m + 1,), H.dtype).at[0].set(beta.astype(H.dtype))
-        # least squares via regularized normal equations: the Hessenberg of
-        # a GMRES cycle is well-conditioned and 30x30, and (unlike lstsq's
-        # SVD) this lowers cleanly inside a TPU while_loop body; the eps
-        # ridge keeps breakdown-masked (zero) columns solvable, with y = 0
-        # in the masked slots
-        G = jnp.conj(Hm.T) @ Hm
-        rdt_ = jnp.zeros((), H.dtype).real.dtype
-        eps_ridge = (1e3 * jnp.finfo(rdt_).tiny
-                     + 100 * jnp.finfo(rdt_).eps * jnp.trace(jnp.real(G)))
-        G = G + eps_ridge.astype(H.dtype) * jnp.eye(m, dtype=H.dtype)
-        y = jnp.linalg.solve(G, jnp.conj(Hm.T) @ e1)
-        y = y * colmask.astype(y.dtype)
-        x = tree_add(x, basis_combine(V, jnp.pad(y, (0, 1))))
-        # the TRUE residual (one extra matvec): the Hessenberg LS residual
-        # keeps "improving" below the dtype noise floor (measured 3e-5
-        # estimated vs 3e-4 true at D=256 f32), which would defeat the
-        # stagnation test; it also seeds the next cycle
+        dx, est, steps = _gmres_cycle_adaptive(op, r, beta, m,
+                                               0.5 * abs_tol, passes=1,
+                                               stall_exit=stall_exit)
+        x = tree_add(x, dx)
         r = tree_add(b, op(x), alpha=-1.0)
         relres = tree_norm(r) / jnp.maximum(bnorm, _TINY)
         stalls = jnp.where(relres < 0.7 * prev, 0, stalls + 1)
@@ -71,7 +162,6 @@ def gmres_restarted(op: Callable, b, x0, tol, restart: int = 30,
             it < maxiter,
             jnp.logical_and(relres > tol, stalls < 2))
 
-    rdt = jnp.zeros((), jax.tree_util.tree_leaves(b)[0].dtype).real.dtype
     r0 = tree_add(b, op(x0), alpha=-1.0)
     init = (x0, r0, tree_norm(r0) / jnp.maximum(bnorm, _TINY),
             jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32))
@@ -97,7 +187,8 @@ def linsolve(matvec: Callable, b, x0=None, a0=1.0, a1=1.0, tol=1e-12,
 
 
 def linsolve_info(matvec: Callable, b, x0=None, a0=1.0, a1=1.0, tol=1e-12,
-                  restart: int = 30, maxiter: int = 40):
+                  restart: int = 30, maxiter: int = 40,
+                  stall_exit: bool = False):
     """`linsolve` that also returns the measured relative residual
     ||(a0 + a1 A) x - b|| / ||b|| (one extra matvec — the in-loop estimate
     is the Hessenberg least-squares residual, which drifts from the true
@@ -111,7 +202,8 @@ def linsolve_info(matvec: Callable, b, x0=None, a0=1.0, a1=1.0, tol=1e-12,
     def op(x):
         return tree_add(tree_scale(a0, x), matvec(x), alpha=a1)
 
-    x, _, _ = gmres_restarted(op, b, x0, tol, restart, maxiter)
+    x, _, _ = gmres_restarted(op, b, x0, tol, restart, maxiter,
+                              stall_exit=stall_exit)
     relres = tree_norm(tree_add(op(x), b, alpha=-1.0)) / jnp.maximum(
         tree_norm(b), _TINY)
     return x, relres

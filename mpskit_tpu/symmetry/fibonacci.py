@@ -217,16 +217,17 @@ def leading_boundary_fibonacci(spsi: FibonacciInfiniteMPS, O, alg=None):
     # real fixed point of the critical transfer)
     with matmul_precision(psi.dtype):
         for _ in range(10):
-            psi, eps, GLg, GRg = _boundary_vomps_iteration(
+            psi, eps, GLg, GRg, _env_resid = _boundary_vomps_iteration(
                 psi, Os, alg.gauge_tol, 1e-12, GL_guess=GLg, GR_guess=GRg,
                 A_mask=A_mask, C_mask=C_mask, env_mask=env_mask)
     for it in range(1, alg.maxiter + 1):
         inner_tol = updatetol(eps, it)
         with matmul_precision(psi.dtype):
-            psi, eps, GLg, GRg = _boundary_vumps_iteration(
+            psi, eps, GLg, GRg, diag = _boundary_vumps_iteration(
                 psi, Os, alg.krylovdim, alg.gauge_tol, 1e-12, inner_tol,
                 GL_guess=GLg, GR_guess=GRg, A_mask=A_mask, C_mask=C_mask,
                 env_mask=env_mask)
+        log.solver_warn(it, diag[:2], float(inner_tol))
         eps = float(eps)
         if alg.verbosity >= VERBOSE_ITER:
             log.conv(it, 0.0, eps)
