@@ -204,11 +204,53 @@ def approximate(psi, target, alg=None, envs=None):
 
     if isinstance(psi, FiniteMPS):
         return _approximate_finite(psi, O, phi, alg)
+    from ..states.multiline import MPSMultiline
+
+    if isinstance(psi, MPSMultiline) or isinstance(phi, MPSMultiline):
+        return _approximate_multiline(psi, O, phi, alg)
     if isinstance(psi, InfiniteMPS):
         if isinstance(alg, (FitIDMRG, FitIDMRG2)):
             return _approximate_idmrg(psi, O, phi, alg)
         return _approximate_infinite(psi, O, phi, alg)
     raise TypeError(type(psi))
+
+
+def _approximate_multiline(psi, O, phi, alg):
+    """Multiline approximate (reference approximate/idmrg.jl:1-145 and
+    vomps.jl): the MPO row r maps `phi` row r onto `psi` row r+1
+    (idmrg.jl:17-21, `ψ.AC[row + 1, col] = h * above.AC[row, col]`), so
+    each output row is an independent single-row fit of O_r · phi_r —
+    rows couple only through that shift. Returns
+    (MPSMultiline, per-row envs, max per-row eps)."""
+    from ..states.multiline import MPSMultiline
+    from ..operators.multiline import MPOMultiline
+
+    if isinstance(psi, InfiniteMPS):
+        psi = MPSMultiline.from_mps(psi, phi.nrows
+                                    if isinstance(phi, MPSMultiline) else 1)
+    if isinstance(phi, InfiniteMPS):
+        phi = MPSMultiline.from_mps(phi, psi.nrows)
+    R = psi.nrows
+    assert phi.nrows == R
+    if O is None or isinstance(O, DenseMPO):
+        O = MPOMultiline.from_mpo(
+            O if O is not None
+            else _identity_mpo(phi.rows[0].physicaldim, phi.period,
+                               phi.rows[0].dtype), R)
+    assert O.nrows in (1, R)
+
+    fit = (_approximate_idmrg if isinstance(alg, (FitIDMRG, FitIDMRG2))
+           else _approximate_infinite)
+    new_rows = list(psi.rows)
+    envs_rows = [None] * R
+    eps = 0.0
+    for r in range(R):
+        out, envs, err = fit(psi.rows[(r + 1) % R], O.row(r), phi.rows[r],
+                             alg)
+        new_rows[(r + 1) % R] = out
+        envs_rows[(r + 1) % R] = envs
+        eps = max(eps, float(err))
+    return MPSMultiline(tuple(new_rows)), envs_rows, eps
 
 
 def _gauged_stacks_finite(phi: FiniteMPS):

@@ -121,6 +121,28 @@ def changebonds(psi, *args):
         for stage in alg:
             psi = changebonds(psi, *((stage,) if H is None else (H, stage)))
         return psi
+
+    # Multiline / MPO containers (reference svdcut.jl:25-33,
+    # randexpand.jl:36-37, optimalexpand.jl:39-45)
+    from ..states.multiline import MPSMultiline
+    from ..operators.mpo import DenseMPO
+    from ..operators.multiline import MPOMultiline
+
+    if isinstance(psi, MPSMultiline):
+        return _changebonds_multiline(psi, H, alg)
+    if isinstance(psi, MPOMultiline):
+        # reference svdcut.jl:29-31: convert to the MPS container, manage
+        # bonds there, convert back
+        rows = tuple(changebonds(r, *((alg,) if H is None else (H, alg)))
+                     for r in psi.rows)
+        return MPOMultiline(rows)
+    if isinstance(psi, DenseMPO):
+        # reference svdcut.jl:26-28 (assumes an infinite MPO)
+        from ..operators.mpo import mpo_to_mps, mps_to_mpo
+
+        d = psi.site(0).shape[2]
+        return mps_to_mpo(changebonds(mpo_to_mps(psi), alg), d)
+
     if isinstance(alg, SvdCut):
         if isinstance(psi, FiniteMPS):
             return _svdcut_finite(psi, alg)
@@ -135,6 +157,72 @@ def changebonds(psi, *args):
             "VUMPSSvdCut needs an InfiniteMPS and the Hamiltonian"
         return _vumpssvd_cut(psi, H, alg)
     raise TypeError(type(alg))
+
+
+def _changebonds_multiline(psi, H, alg):
+    """Multiline bond management (reference svdcut.jl:32-33 /
+    randexpand.jl:36-37: per-row; optimalexpand.jl:39-45: the expansion
+    directions for row r+1 come from the row-r two-site MPO derivative in
+    the mixed (ket = row r, bra = row r+1) environments)."""
+    from ..states.multiline import MPSMultiline
+    from ..operators.multiline import MPOMultiline
+    from ..operators.mpo import DenseMPO
+
+    R = psi.nrows
+    if isinstance(alg, (SvdCut, RandExpand)):
+        return MPSMultiline(tuple(changebonds(r, alg) for r in psi.rows))
+    if isinstance(alg, OptimalExpand):
+        assert H is not None, "OptimalExpand needs the transfer MPO"
+        if isinstance(H, DenseMPO):
+            H = MPOMultiline.from_mpo(H, R)
+        assert isinstance(H, MPOMultiline) and H.nrows in (1, R)
+        new_rows = list(psi.rows)
+        for r in range(R):
+            new_rows[(r + 1) % R] = _expand_multiline_row(
+                psi.rows[r], H.row(r), psi.rows[(r + 1) % R], alg.dims)
+        return MPSMultiline(tuple(new_rows))
+    raise TypeError(type(alg))
+
+
+def _expand_multiline_row(below: InfiniteMPS, O, above: InfiniteMPS,
+                          extra: int) -> InfiniteMPS:
+    """Expand `above` (row r+1) by `extra` directions seeded from the
+    dominant singular vectors of the row-r two-site derivative projected
+    on row r+1's tangent nullspaces (reference optimalexpand.jl:41-65:
+    AC2 of row i-1 pushed through MPO_∂∂AC2(i-1, j), nullspaces of row i)."""
+    from ..environments.infinite_mpo import mpo_environments
+    from ..tensors.ops import notrunc
+
+    key = jax.random.PRNGKey(42)
+    L, D, d = above.period, above.D, above.physicaldim
+    D_new = D + extra
+    envs = mpo_environments(below, O, psi_bra=above)
+    Os = jnp.stack([O.site(i) for i in range(L)]).astype(below.dtype)
+
+    exp_vecs = []
+    for i in range(L):
+        j = (i + 1) % L
+        theta = jnp.einsum("lpm,mqr->lpqr", below.AC[i], below.AR[j])
+        h2 = ac2_apply(envs.GLs[i], Os[i], Os[j], envs.GRs[j], theta)
+        VL = leftnull(above.AL[i])
+        VR = rightnull(above.AR[j])
+        M = jnp.einsum("lpk,lpqr,mqr->km", VL.conj(), h2, VR.conj())
+        U, S, Vh, _ = svd_truncated(M, min(extra, M.shape[0]), notrunc())
+        exp_vecs.append(jnp.einsum("lpk,ke->lpe", VL, U))
+
+    A_new = []
+    for i in range(L):
+        A = jnp.zeros((D_new, d, D_new), above.dtype)
+        A = A.at[:D, :, :D].set(above.AL[i])
+        ed = exp_vecs[i].shape[2]
+        A = A.at[:D, :, D:D + ed].set(exp_vecs[i])
+        A_new.append(A)
+    A_stack = jnp.stack(A_new)
+    noise = 1e-6 * jax.random.normal(
+        key, A_stack.shape, jnp.zeros((), above.dtype).real.dtype
+    ).astype(above.dtype)
+    mask = jnp.zeros_like(A_stack, dtype=bool).at[:, D:, :, D:].set(True)
+    return InfiniteMPS.from_A(A_stack + noise * mask)
 
 
 def _vumpssvd_cut(psi: InfiniteMPS, H, alg: "VUMPSSvdCut") -> InfiniteMPS:

@@ -481,3 +481,36 @@ class DenseMPO:
                 w1l * w2l, w1r * w2r, d, d)
             out.append(O)
         return DenseMPO(tuple(out))
+
+
+# ----------------------------------------------------------------------------
+# DenseMPO <-> InfiniteMPS conversion (reference densempo.jl:18-28)
+# ----------------------------------------------------------------------------
+
+def mpo_to_mps(O: DenseMPO) -> "InfiniteMPS":
+    """convert(InfiniteMPS, DenseMPO): fuse the two physical legs of each
+    W[a, b, s, t] into one p = (s, t) MPS leg (reference densempo.jl:18-22;
+    the braiding tau is trivial in the plain dense case). The result is
+    regauged, so only the state (ray) is preserved — use `mps_to_mpo` for
+    the inverse."""
+    from ..states.infinitemps import InfiniteMPS
+
+    As = []
+    for i in range(O.period):
+        Oi = O.site(i)
+        a, b, s, t = Oi.shape
+        As.append(jnp.transpose(Oi, (0, 2, 3, 1)).reshape(a, s * t, b))
+    return InfiniteMPS.from_A(jnp.stack(As))
+
+
+def mps_to_mpo(psi: "InfiniteMPS", d: int) -> DenseMPO:
+    """convert(DenseMPO, InfiniteMPS): split the fused physical leg of the
+    left-gauged tensors back into (phys-out, phys-in) MPO legs (reference
+    densempo.jl:24-28)."""
+    Os = []
+    for i in range(psi.period):
+        A = psi.AL[i]
+        D1, p, D2 = A.shape
+        assert p == d * d, "physical leg is not a fused d*d MPO leg"
+        Os.append(jnp.transpose(A.reshape(D1, d, d, D2), (0, 3, 1, 2)))
+    return DenseMPO(tuple(Os))
