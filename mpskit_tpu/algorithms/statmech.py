@@ -270,9 +270,12 @@ def _leading_boundary_grassmann(psi: InfiniteMPS, Os, alg):
 
 def leading_boundary(psi, O, alg=None):
     """Boundary fixed point of a transfer MPO. Accepts an InfiniteMPS with
-    a DenseMPO, or an MPSMultiline with an MPOMultiline (rows coupled
-    cyclically, reference src/algorithms/statmech/vumps.jl:20-84).
-    Returns (psi, envs, eps)."""
+    a DenseMPO or a sparse-FSM MPOHamiltonian/SparseMPO (reference
+    MPOMultiline admits Union{SparseMPO, DenseMPO} rows,
+    src/operators/mpomultiline.jl:14-18 — sparse rows are consumed through
+    their stacked site tensors directly, no `to_densempo` SVD pass), or an
+    MPSMultiline with an MPOMultiline (rows coupled cyclically, reference
+    src/algorithms/statmech/vumps.jl:20-84). Returns (psi, envs, eps)."""
     if alg is None:
         alg = VUMPS_Boundary()
     if isinstance(psi, MPSMultiline) or (

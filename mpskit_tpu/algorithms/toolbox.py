@@ -102,25 +102,61 @@ def calc_galerkin(psi, H, envs=None):
 # transfer spectra / correlation lengths
 # ----------------------------------------------------------------------------
 
-def transfer_spectrum(psi, num: int = 5, krylovdim: int = 40):
+def transfer_spectrum(psi, num: int = 5, krylovdim: int = 40, sector=None):
     """Leading eigenvalues of the unit-cell AL transfer operator
     (reference src/algorithms/toolbox.jl:43-56). Returns eigenvalues sorted
-    by descending magnitude (lambda_1 = 1 for a normalized state)."""
+    by descending magnitude (lambda_1 = 1 for a normalized state).
+
+    sector: charge flux of the transfer eigenvector — the reference's
+    `transfer_spectrum(psi; sector=...)` selects eigenvectors v with
+    charge(bra) - charge(ket) = sector. Requires an abelian-symmetric
+    state (`symmetry.charges.SymmetricInfiniteMPS`), whose static bond
+    charge labels confine the Arnoldi iteration to the flux-q subspace;
+    sector=0 on a symmetric state restricts to charge-diagonal
+    eigenvectors (the untwisted channel)."""
     from ..states.infinitemps import InfiniteMPS
     from ..transfermatrix.transfer import transfer_left
     from ..linalg.arnoldi import spectrum_arnoldi
 
-    assert isinstance(psi, InfiniteMPS)
+    charges = None
+    if not isinstance(psi, InfiniteMPS):
+        from ..symmetry.charges import SymmetricInfiniteMPS
+
+        if isinstance(psi, SymmetricInfiniteMPS):
+            # transfer eigenvectors live on the cell-boundary bond
+            charges = np.asarray(psi.bond_charges[len(psi.bond_charges) - 1])
+            psi = psi.state
+        else:
+            raise TypeError(type(psi))
+    if sector is not None and charges is None:
+        raise ValueError(
+            "sector-resolved transfer_spectrum needs a SymmetricInfiniteMPS "
+            "(static bond charge labels)")
     L, D = psi.period, psi.D
 
+    M = None
+    if sector is not None:
+        live = charges < 10 ** 6          # exclude padding sentinels
+        flux = charges[:, None] - charges[None, :] == sector
+        M = jnp.asarray(flux & live[:, None] & live[None, :],
+                        dtype=psi.dtype)
+
     def mv(v):
+        if M is not None:
+            v = v * M
+
         def body(v, A):
             return transfer_left(v, A, A), None
 
         v, _ = jax.lax.scan(body, v, psi.AL)
-        return v
+        return v if M is None else v * M
 
     v0 = jnp.eye(D, dtype=psi.dtype) + 0.1 * psi.rho_right(L - 1).astype(psi.dtype)
+    if M is not None:
+        key = jax.random.PRNGKey(0)
+        v0 = (v0 + jax.random.normal(key, (D, D),
+                                     jnp.zeros((), psi.dtype).real.dtype)
+              .astype(psi.dtype)) * M
     lams, _ = spectrum_arnoldi(mv, v0, m=min(krylovdim, D * D), nev=num)
     return lams
 

@@ -33,7 +33,7 @@ def _expm_multiply_impl(matvec: Callable, v, tau, m: int):
     # exp(tau T) e1 = Q exp(tau evals) Q^H e1 — restrict to valid block via
     # the factorization itself (invalid rows are zero so they don't mix)
     coeff = evecs @ (jnp.exp(tau * evals) * (evecs.conj().T @ e1))
-    y = basis_combine(V, coeff)
+    y = basis_combine(V, jnp.pad(coeff, (0, 1)))  # V carries m+1 slots
     # Saad's a-posteriori estimate of the Krylov truncation error: the norm
     # of the first neglected term, |beta_last| * |coeff_last| (relative to
     # ||v||). KrylovKit's exponentiate reports the analogous info.normres,

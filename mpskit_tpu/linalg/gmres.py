@@ -8,6 +8,7 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..utils.tree import tree_norm, tree_add, tree_scale
 from .basis import basis_combine
@@ -36,7 +37,8 @@ def _givens(a, b_real):
 
 
 def _gmres_cycle_adaptive(op: Callable, r, beta, m: int, exit_tol,
-                          passes: int = 1, stall_exit: bool = False):
+                          passes: int = 1, stall_exit: bool = False,
+                          stall_arm=0.0):
     """One ADAPTIVE GMRES cycle: Arnoldi from r/beta with an incrementally
     Givens-rotated Hessenberg so the least-squares residual is available at
     EVERY step; stops at `exit_tol` (absolute, on the LS estimate), at
@@ -50,6 +52,14 @@ def _gmres_cycle_adaptive(op: Callable, r, beta, m: int, exit_tol,
     plateau-then-breakthrough behavior that a stall exit would abort
     (measured: the dense indefinite linsolve test stalls at 3e-1), so the
     default keeps the full cycle.
+
+    stall_arm (absolute): stall steps are only COUNTED once the LS estimate
+    sits below this level — a plateau far above the dtype floor is slow
+    convergence (a warm start invalidated by a state update, a transient
+    Krylov plateau), not a floor, and must not abort the solve. Measured
+    failure without the guard: the infinite GradientGrassmann CG stalls at
+    gnorm ~0.2 because its retracted-state c128 environment solves were
+    cut off mid-plateau (round-3 regression, fixed here).
 
     Replaces the fixed-trip-count cycle of the previous design: a
     warm-started geometric-series solve that needs 3 steps no longer burns
@@ -92,7 +102,9 @@ def _gmres_cycle_adaptive(op: Callable, r, beta, m: int, exit_tol,
         # LS residual estimate: |beta * Q[j+1, 0]|
         est_new = beta * jnp.abs(Q[j + 1, 0])
         improving = est_new < 0.95 * est
-        stalls = jnp.where(improving, 0, stalls + 1)
+        armed = est_new < stall_arm
+        stalls = jnp.where(improving, 0,
+                           jnp.where(armed, stalls + 1, stalls))
         return V, R, Q, j + 1, est_new.astype(rdt), est, stalls
 
     max_stalls = 4 if stall_exit else m + 1
@@ -143,17 +155,29 @@ def gmres_restarted(op: Callable, b, x0, tol, restart: int = 30,
     bnorm = tree_norm(b)
     m = restart
     abs_tol = tol * jnp.maximum(bnorm, _TINY)
+    # stall exits are armed only near the dtype floor (relative level
+    # ~50 sqrt(N) eps): plateaus far above it are slow convergence, not a
+    # floor, and aborting there corrupts downstream gradients/energies
+    # (see _gmres_cycle_adaptive docstring)
+    leaves = jax.tree_util.tree_leaves(b)
+    n_tot = sum(int(np.prod(l.shape)) for l in leaves) or 1
+    rdt = jnp.zeros((), leaves[0].dtype).real.dtype
+    arm_rel = 50.0 * np.sqrt(n_tot) * float(jnp.finfo(rdt).eps)
+    arm_abs = arm_rel * jnp.maximum(bnorm, _TINY)
 
     def cycle(state):
         x, r, prev, it, stalls = state
         beta = tree_norm(r)
         dx, est, steps = _gmres_cycle_adaptive(op, r, beta, m,
                                                0.5 * abs_tol, passes=1,
-                                               stall_exit=stall_exit)
+                                               stall_exit=stall_exit,
+                                               stall_arm=arm_abs)
         x = tree_add(x, dx)
         r = tree_add(b, op(x), alpha=-1.0)
         relres = tree_norm(r) / jnp.maximum(bnorm, _TINY)
-        stalls = jnp.where(relres < 0.7 * prev, 0, stalls + 1)
+        armed = relres < arm_rel
+        stalls = jnp.where(relres < 0.7 * prev, 0,
+                           jnp.where(armed, stalls + 1, stalls))
         return x, r, relres, it + 1, stalls
 
     def cond(state):

@@ -550,3 +550,21 @@ def find_groundstate_symmetric_dmrg2(spsi: SymmetricFiniteMPS, H, alg=None):
     GRs_arr = compute_right_envs(ARs, Ws, right_boundary(w, D, psi.dtype))
     spsi = SymmetricFiniteMPS(psi, tuple(bonds), spsi.phys_charges)
     return spsi, FiniteEnv(GLs_arr, GRs_arr), eps
+
+
+def sector_entanglement_spectrum_infinite(spsi: "SymmetricInfiniteMPS",
+                                          bond: int = -1):
+    """{charge: schmidt values} of the bond matrix C at a unit-cell bond —
+    the infinite-state counterpart of `sector_entanglement_spectrum`
+    (reference sector-resolved entanglementplot, utility/plotting.jl:15-126)."""
+    L = len(spsi.bond_charges)
+    bond = bond % L
+    labels = spsi.bond_charges[bond]
+    C = np.asarray(spsi.state.C[bond])
+    out = {}
+    for q in sorted(set(int(x) for x in labels if x < 10 ** 6)):
+        idx = np.where(labels == q)[0]
+        blk = C[np.ix_(idx, idx)]
+        s = np.linalg.svd(blk, compute_uv=False)
+        out[q] = s[s > 1e-14]
+    return out

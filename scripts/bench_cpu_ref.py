@@ -27,11 +27,12 @@ from mpskit_tpu.states.finitemps import support_mask
 
 H = transverse_field_ising_lattice(g=G, dtype=np.float64)
 
-# VUMPS iteration, D=256
+# VUMPS iteration, D=256 — warmup depth MATCHES bench.py's VUMPS_WARMUP
+# (both sides measure the converged warm-start steady state)
 psi = InfiniteMPS.random(jax.random.PRNGKey(0), 1, 2, D_VUMPS, dtype=DTYPE)
 tol = jnp.asarray(1e-6, jnp.float64)
 env = None
-for _ in range(2):
+for _ in range(8):
     psi, eps, env, _diag = _vumps_iteration(psi, H, KRYLOVDIM, RESTARTS,
                                             1e-8, 1e-8, tol, env_guess=env)
 float(eps)

@@ -101,3 +101,31 @@ def test_spectrum_arnoldi():
     w_ref = np.linalg.eigvals(np.asarray(M))
     w_ref = w_ref[np.argsort(-np.abs(w_ref))][:3]
     np.testing.assert_allclose(np.asarray(w), w_ref, rtol=1e-4)
+
+
+def test_tridiag_smallest_vs_eigh():
+    """The Sturm-bisection + inverse-iteration tridiagonal solver that
+    replaced jnp.linalg.eigh in the hot restarts matches LAPACK on random
+    tridiagonals, including breakdown-masked (nvalid < m) ones."""
+    import numpy as np
+    from mpskit_tpu.linalg.lanczos import tridiag_smallest
+
+    rng = np.random.default_rng(0)
+    m = 10
+    for trial in range(20):
+        alpha = jnp.asarray(rng.standard_normal(m))
+        beta = jnp.asarray(np.abs(rng.standard_normal(m)) + 1e-3)
+        nvalid = int(rng.integers(1, m + 1))
+        lam, s = tridiag_smallest(alpha, beta, nvalid, m)
+        a = np.asarray(alpha)[:nvalid]
+        b = np.asarray(beta)[:nvalid - 1] if nvalid > 1 else np.zeros(0)
+        T = np.diag(a) + np.diag(b, 1) + np.diag(b, -1)
+        evals, evecs = np.linalg.eigh(T)
+        assert abs(float(lam) - evals[0]) < 1e-10, (trial, nvalid)
+        s_np = np.asarray(s)
+        if nvalid < m:
+            assert np.max(np.abs(s_np[nvalid:])) < 1e-12
+        ov = abs(np.dot(s_np[:nvalid], evecs[:, 0]))
+        # eigenvector overlap (up to degeneracy: check residual instead)
+        resid = np.linalg.norm(T @ s_np[:nvalid] - float(lam) * s_np[:nvalid])
+        assert resid < 1e-8, (trial, nvalid, resid, ov)

@@ -15,7 +15,9 @@ from mpskit_tpu.symmetry.su2 import (
     clebsch_gordan2, build_A_projector, build_C_projector,
 )
 
-pytestmark = pytest.mark.slow
+# Only the dense-projector VUMPS integrations are slow; the structural
+# tests (and the whole reduced-coordinate suite, test_su2_reduced.py) run
+# in the fast gate.
 
 # spin-1 Heisenberg energy density (fixture H = 4 * S.S)
 E_EXACT = 4 * -1.401484038971
@@ -41,6 +43,7 @@ def test_projector_orthonormality():
     np.testing.assert_allclose(QC.T @ QC, np.eye(QC.shape[1]), atol=1e-12)
 
 
+@pytest.mark.slow
 def test_su2_vumps_spin1_heisenberg():
     """SU(2)-symmetric VUMPS on the spin-1 Heisenberg chain: the Schmidt
     spectrum must carry HALF-INTEGER spin sectors (Haldane phase edge
@@ -64,6 +67,7 @@ def test_su2_vumps_spin1_heisenberg():
     assert spec[1][0] == max(v[0] for v in spec.values())
 
 
+@pytest.mark.slow
 def test_su2_haldane_gap():
     """Flagship SU(2) oracle: Haldane gap 0.41047925 at p=pi from the
     quasiparticle ansatz on the SU(2)-symmetric ground state, with

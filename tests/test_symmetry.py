@@ -161,3 +161,58 @@ def test_u1_dmrg2_charged_sector():
     E = float(np.real(np.asarray(expectation_value(spsi.state, H)).sum()))
     assert abs(E - e_ref) < 1e-8
     assert abs(_sz_total(spsi.state) - 1.0) < 1e-9
+
+
+def test_sector_resolved_transfer_spectrum():
+    """transfer_spectrum(psi, sector=q) restricts the transfer eigenvectors
+    to charge flux q (reference toolbox.jl:43-56 `sector` kwarg) — checked
+    against the dense unit-cell transfer matrix restricted to the same
+    flux subspace."""
+    from mpskit_tpu.symmetry.charges import SymmetricInfiniteMPS
+    from mpskit_tpu.algorithms.toolbox import transfer_spectrum
+
+    D = 12
+    spsi = SymmetricInfiniteMPS.random(jax.random.PRNGKey(2), 2, [1, -1], D,
+                                       dtype=jnp.float64)
+    AL = np.asarray(spsi.state.AL)
+    # dense unit-cell transfer matrix M[(m n), (x y)]
+    T = np.eye(D * D)
+    for i in range(2):
+        Ti = np.einsum("xpm,ypn->mnxy", AL[i].conj(), AL[i]).reshape(
+            D * D, D * D)
+        T = Ti @ T
+    labels = spsi.bond_charges[-1]
+    for q in (0, 2, -2):
+        flux = (labels[:, None] - labels[None, :]) == q
+        idx = np.where(flux.reshape(-1))[0]
+        sub = T[np.ix_(idx, idx)]
+        dense = np.sort(np.abs(np.linalg.eigvals(sub)))[::-1]
+        lams = np.asarray(transfer_spectrum(spsi, num=3, krylovdim=40,
+                                            sector=q))
+        np.testing.assert_allclose(np.abs(lams)[:2], dense[:2], atol=1e-8)
+    # the untwisted channel carries the dominant (=1) eigenvalue
+    lam0 = transfer_spectrum(spsi, num=1, sector=0)
+    assert abs(abs(complex(lam0[0])) - 1.0) < 1e-10
+
+
+def test_sector_resolved_entanglement_plot():
+    """Sector-labeled entanglementplot data (reference
+    utility/plotting.jl:15-126): per-charge Schmidt values union-match the
+    plain spectrum, and the rendering smoke-tests headless."""
+    import matplotlib
+    matplotlib.use("Agg")
+    from mpskit_tpu.symmetry.charges import SymmetricInfiniteMPS
+    from mpskit_tpu.utils.plotting import (entanglement_plot_data_sectors,
+                                           entanglement_plot_sectors)
+
+    spsi = SymmetricInfiniteMPS.random(jax.random.PRNGKey(3), 2, [1, -1], 10,
+                                       dtype=jnp.float64)
+    data = entanglement_plot_data_sectors(spsi)
+    assert len(data) >= 2                    # several charge sectors present
+    allv = np.sort(np.concatenate([np.asarray(v) for v in data.values()]))
+    C = np.asarray(spsi.state.C[-1])
+    s_full = np.linalg.svd(C, compute_uv=False)
+    s_full = np.sort(s_full[s_full > 1e-14])
+    np.testing.assert_allclose(allv, s_full, atol=1e-10)
+    ax = entanglement_plot_sectors(spsi)
+    assert len(ax.lines) == len(data)
