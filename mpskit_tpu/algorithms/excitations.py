@@ -53,6 +53,50 @@ class QuasiparticleAnsatz:
     solver: str = "lanczos"
 
 
+def _flux_projector(VLs, fmask):
+    """Orthogonal projector on X-space onto charge-flux-`sector` B tensors.
+
+    Masked-dense realization of the reference's charged quasiparticle
+    utility leg (src/states/quasiparticle_state.jl:30-56): the excitation
+    tensor B = VL X is projected onto the flux mask
+    (c_left + q_phys == c_right + sector) and pulled back through the
+    null-space isometry. Because the ground tensors are exactly flux-0
+    (masked), the flux decomposition commutes with the null-space
+    projector VL VL^dag, so this is the exact orthogonal projector onto
+    the sector subspace of the tangent space. Requires a FULL-RANK AL
+    (true for converged symmetric InfiniteMPS with all-live bond labels);
+    for rank-deficient finite gauges use the B-space projector below."""
+    fm = jnp.asarray(fmask)
+
+    def proj_site(X, VL, mk):
+        B = jnp.einsum("lpk,kr->lpr", VL, X) * mk.astype(X.dtype)
+        return jnp.einsum("lpk,lpr->kr", VL.conj(), B)
+
+    return lambda Xs: jax.vmap(proj_site)(Xs, VLs, fm)
+
+
+def _b_flux_projector(ALs, fmask):
+    """Orthogonal projector on B-space: flux mask composed with the left
+    tangent gauge (1 - AL AL^dag) B = 0-gauge condition.
+
+    Works directly on the (L, D, d, D) excitation tensors, which avoids
+    the dense null-space basis entirely — for symmetric states whose AL
+    has exact zero columns (dead bond slots / unused sectors), the dense
+    `finite_null_spaces` complete-QR fills those columns with arbitrary
+    junk and its complement MISSES tangent directions; the projector form
+    is exact regardless of rank. The two factors commute exactly at
+    finite precision because AL is exactly masked (flux-0 zeros), so one
+    application of each yields the orthogonal projector."""
+    fm = jnp.asarray(fmask)
+
+    def proj_site(B, AL, mk):
+        B = B * mk.astype(B.dtype)
+        z = jnp.einsum("lpm,lpr->mr", AL.conj(), B)
+        return B - jnp.einsum("lpm,mr->lpr", AL, z)
+
+    return lambda Bs: jax.vmap(proj_site)(Bs, ALs, fm)
+
+
 def _qp_eigsolve(mv, x0, alg: QuasiparticleAnsatz):
     """Dispatch the QP eigensolve per alg.solver."""
     if alg.solver == "arnoldi":
@@ -105,9 +149,25 @@ def _renorm_energies_infinite(psi: InfiniteMPS, H, envs):
 
 def excitations_infinite(H, alg: QuasiparticleAnsatz, momenta, psi,
                          envs=None, num: int = 1, key=None,
-                         right_gs=None, right_envs=None):
+                         right_gs=None, right_envs=None, sector=None):
     """QP excitation energies for one or several momenta.
-    Returns (energies (n_momenta, num), qps list)."""
+    Returns (energies (n_momenta, num), qps list).
+
+    sector: charge of the excitation (reference `sector` kwarg,
+    docs/src/man/algorithms.md:196-211). Requires `psi` to be a
+    SymmetricInfiniteMPS (abelian bond charge labels); the QP search is
+    then restricted to flux-`sector` B tensors via `_flux_projector`."""
+    from ..symmetry.charges import SymmetricInfiniteMPS
+
+    fmask = None
+    if isinstance(psi, SymmetricInfiniteMPS):
+        if sector is not None:
+            fmask = psi.flux_masks(sector)
+        psi = psi.state
+    elif sector is not None:
+        raise TypeError(
+            "sector-resolved excitations need a SymmetricInfiniteMPS "
+            "(abelian bond charge labels)")
     if envs is None:
         envs = hamiltonian_environments(psi, H)
     if right_gs is not None and right_envs is None:
@@ -130,19 +190,31 @@ def excitations_infinite(H, alg: QuasiparticleAnsatz, momenta, psi,
     for p in momenta:
         qp0 = LeftGaugedQP.random(key, psi, momentum=float(p),
                                   right_gs=right_gs)
-        es, xs = _solve_qp(qp0, H, GLs, GRs, Es, alg, num)
+        if fmask is not None:
+            P = _flux_projector(qp0.VLs, fmask)
+            X0 = P(qp0.Xs)
+            n0 = jnp.linalg.norm(X0)
+            assert float(n0) > 1e-12, \
+                f"sector {sector} unreachable from the given bond labels"
+            qp0 = dataclasses.replace(qp0, Xs=X0 / n0)
+        es, xs = _solve_qp(qp0, H, GLs, GRs, Es, alg, num, proj=(
+            _flux_projector(qp0.VLs, fmask) if fmask is not None else None))
         energies.append(es)
         qps.append([dataclasses.replace(qp0, Xs=x) for x in xs])
     return jnp.stack(energies), qps
 
 
-def _solve_qp(qp0, H, GLs, GRs, Es, alg, num):
-    """Sequential deflation: find `num` smallest eigenpairs of H_eff."""
+def _solve_qp(qp0, H, GLs, GRs, Es, alg, num, proj=None):
+    """Sequential deflation: find `num` smallest eigenpairs of H_eff.
+    proj: optional X-space projector (charge sector restriction) applied
+    around every matvec."""
     es, xs = [], []
     shift = 100.0
 
     def base_mv(X):
-        return _qp_matvec_infinite(X, qp0, H, GLs, GRs, Es, alg.env_tol)
+        y = _qp_matvec_infinite(X if proj is None else proj(X),
+                                qp0, H, GLs, GRs, Es, alg.env_tol)
+        return y if proj is None else proj(y)
 
     for k in range(num):
         found = list(xs)
@@ -213,12 +285,37 @@ def _qp_matvec_finite(Xs, qp_template: FiniteQP, Ws, GLs, GRs, E0):
 
 
 def excitations_finite(H, alg: QuasiparticleAnsatz, psi: FiniteMPS,
-                       envs=None, num: int = 1, key=None):
-    """Finite-chain QP excitations. Returns (energies (num,), qps)."""
+                       envs=None, num: int = 1, key=None, sector=None):
+    """Finite-chain QP excitations. Returns (energies (num,), qps).
+
+    sector: charge of the excitation relative to the ground state
+    (reference docs/src/man/algorithms.md:196-211 — the Z2-charged TFIM
+    gap demo). Requires `psi` to be a SymmetricFiniteMPS."""
+    from ..symmetry.charges import SymmetricFiniteMPS
+
+    fmask = cmask = None
+    if isinstance(psi, SymmetricFiniteMPS):
+        if sector is not None:
+            fmask = psi.flux_masks(sector)
+            cmask = jnp.asarray(psi.masks)
+        psi = psi.state
+    elif sector is not None:
+        raise TypeError(
+            "sector-resolved excitations need a SymmetricFiniteMPS "
+            "(abelian bond charge labels)")
     if key is None:
         key = jax.random.PRNGKey(0)
     L, D = psi.length, psi.D
     qp0 = FiniteQP.random(key, psi)
+    if cmask is not None:
+        # FiniteQP.random re-gauges with unmasked QRs whose completions put
+        # junk in the dead (charge-forbidden) columns; re-mask the gauges —
+        # the represented state is unchanged (the dead rows of the center
+        # matrices are zero) and the flux projector/environments then see
+        # exactly charge-pure tensors
+        qp0 = dataclasses.replace(qp0,
+                                  ALs=qp0.ALs * cmask.astype(qp0.ALs.dtype),
+                                  ARs=qp0.ARs * cmask.astype(qp0.ARs.dtype))
     Ws = stack_W(H, L).astype(psi.dtype)
     w = Ws.shape[1]
     # environments in the full gauges
@@ -230,6 +327,15 @@ def excitations_finite(H, alg: QuasiparticleAnsatz, psi: FiniteMPS,
 
     es, xs = [], []
     shift = 100.0 * max(1.0, float(jnp.abs(E0)))
+
+    if fmask is not None:
+        # B-space solve (see _b_flux_projector): the VL null basis of a
+        # rank-deficient symmetric gauge misses tangent directions, so the
+        # sector search runs on the raw B tensors with the combined
+        # flux + tangent-gauge projector, the complement shifted far above
+        # the physical window so Lanczos never drifts into it.
+        return _excitations_finite_B(H, alg, qp0, Ws, GLs, GRs, E0, fmask,
+                                     num, key, shift)
 
     def base_mv(X):
         return _qp_matvec_finite(X, qp0, Ws, GLs, GRs, E0)
@@ -250,6 +356,94 @@ def excitations_finite(H, alg: QuasiparticleAnsatz, psi: FiniteMPS,
     return jnp.stack(es), qps
 
 
+def _excitations_finite_B(H, alg, qp0, Ws, GLs, GRs, E0, fmask, num, key,
+                          shift):
+    """Charged-sector finite QP solve in B-space (see excitations_finite).
+    Returns (energies (num,), qps as FiniteQP with Xs = VL^dag B pullbacks
+    PLUS exact Bs attached for flux checks)."""
+    from ..environments.qp import (
+        qp_left_envs_finite_B, qp_right_envs_finite_B,
+    )
+
+    L, D, d = qp0.ALs.shape[0], qp0.ALs.shape[1], qp0.ALs.shape[2]
+    Pi = _b_flux_projector(qp0.ALs, fmask)
+    comp_shift = 1e3 * (1.0 + abs(float(E0)))
+
+    def base_mv(Bs):
+        Bp = Pi(Bs)
+        lBs = qp_left_envs_finite_B(Bp, qp0.ALs, qp0.ARs, GLs, Ws)
+        rBs = qp_right_envs_finite_B(Bp, qp0.ALs, qp0.ARs, GRs, Ws)
+
+        def site(GL, W, GR, B, lB, rB, ALi, ARi):
+            y = ac_apply(GL, W, GR, B)
+            y = y + ac_apply(lB, W, GR, ARi)
+            y = y + ac_apply(GL, W, rB, ALi)
+            return y - E0 * B
+
+        y = jax.vmap(site)(GLs[:L], Ws, GRs[1:], Bp, lBs, rBs,
+                           qp0.ALs, qp0.ARs)
+        # the sector-orthogonal complement is lifted far above the window
+        # (its raw eigenvalue under Pi H Pi would be 0 < any gap)
+        return Pi(y) + comp_shift * (Bs - Bp)
+
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    B0 = Pi(jax.random.normal(key, (L, D, d, D), qp0.ALs.dtype)
+            if not jnp.issubdtype(qp0.ALs.dtype, jnp.complexfloating)
+            else (jax.random.normal(key, (L, D, d, D),
+                                    jnp.zeros((), qp0.ALs.dtype).real.dtype)
+                  + 1j * jax.random.normal(jax.random.split(key)[1],
+                                           (L, D, d, D),
+                                           jnp.zeros((),
+                                                     qp0.ALs.dtype).real.dtype)
+                  ).astype(qp0.ALs.dtype))
+    n0 = jnp.linalg.norm(B0)
+    assert float(n0) > 1e-12, "sector unreachable from the given bond labels"
+    B0 = B0 / n0
+
+    es, bs = [], []
+    for k in range(num):
+        found = tuple(bs)
+
+        def mv(B, _found=found):
+            y = base_mv(B)
+            for bf in _found:
+                y = y + shift * jnp.vdot(bf, B) * bf
+            return y
+
+        res = _qp_eigsolve(mv, B0, alg)
+        es.append(res.eigenvalue)
+        bs.append(Pi(res.eigenvector)
+                  / jnp.linalg.norm(Pi(res.eigenvector)))
+    qps = [_BQP(b, qp0.ALs, qp0.ARs) for b in bs]
+    return jnp.stack(es), qps
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class _BQP:
+    """Charged finite quasiparticle carrying explicit B tensors (the
+    B-space counterpart of FiniteQP; bs() returns them verbatim)."""
+
+    Bs: jnp.ndarray
+    ALs: jnp.ndarray
+    ARs: jnp.ndarray
+
+    def tree_flatten(self):
+        return (self.Bs, self.ALs, self.ARs), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    @property
+    def length(self):
+        return self.Bs.shape[0]
+
+    def bs(self):
+        return self.Bs
+
+
 # ----------------------------------------------------------------------------
 # dispatch
 # ----------------------------------------------------------------------------
@@ -263,6 +457,8 @@ def excitations(H, alg, *args, **kwargs):
     from .dmrgexcitation import FiniteExcited, excitations_dmrg
     from ..operators.mpo import DenseMPO
 
+    from ..symmetry.charges import SymmetricFiniteMPS
+
     if isinstance(alg, QuasiparticleAnsatz):
         if isinstance(H, DenseMPO):
             from .excitations_statmech import excitations_boundary
@@ -271,7 +467,7 @@ def excitations(H, alg, *args, **kwargs):
                 H, args[0], args[1],
                 **{k: v for k, v in kwargs.items()
                    if k in ("envs", "key", "krylovdim", "tol")})
-        if isinstance(args[0], FiniteMPS):
+        if isinstance(args[0], (FiniteMPS, SymmetricFiniteMPS)):
             return excitations_finite(H, alg, *args, **kwargs)
         return excitations_infinite(H, alg, *args, **kwargs)
     if isinstance(alg, FiniteExcited):

@@ -190,11 +190,16 @@ def qp_right_envs(qp, GRs, H: MPOHamiltonian, tol=1e-10, phase=None):
 
 def qp_left_envs_finite(qp, GLs, Ws):
     """lBs[i] = B-env at bond left of site i; lBs[0] = 0."""
-    L = qp.length
-    D = qp.ALs.shape[1]
+    return qp_left_envs_finite_B(qp.bs(), qp.ALs, qp.ARs, GLs, Ws)
+
+
+def qp_left_envs_finite_B(Bs, ALs, ARs, GLs, Ws):
+    """Same, from explicit B tensors (used by the B-space charged-sector
+    quasiparticle solver, algorithms/excitations.py)."""
+    L = ALs.shape[0]
+    D = ALs.shape[1]
     w = Ws.shape[1]
-    dtype = qp.ALs.dtype
-    Bs = qp.bs()
+    dtype = ALs.dtype
 
     def body(x, xs):
         GL_i, W_i, ALi, ARi, Bi = xs
@@ -208,17 +213,21 @@ def qp_left_envs_finite(qp, GLs, Ws):
         return xn, x
 
     x0 = jnp.zeros((w, D, D), dtype)
-    _, lBs = jax.lax.scan(body, x0, (GLs[:L], Ws, qp.ALs, qp.ARs, Bs))
+    _, lBs = jax.lax.scan(body, x0, (GLs[:L], Ws, ALs, ARs, Bs))
     return lBs
 
 
 def qp_right_envs_finite(qp, GRs, Ws):
     """rBs[i] = B-env at bond right of site i; rBs[L-1] = 0."""
-    L = qp.length
-    D = qp.ALs.shape[1]
+    return qp_right_envs_finite_B(qp.bs(), qp.ALs, qp.ARs, GRs, Ws)
+
+
+def qp_right_envs_finite_B(Bs, ALs, ARs, GRs, Ws):
+    """Same, from explicit B tensors."""
+    L = ALs.shape[0]
+    D = ALs.shape[1]
     w = Ws.shape[1]
-    dtype = qp.ALs.dtype
-    Bs = qp.bs()
+    dtype = ALs.dtype
 
     def body(x, xs):
         GR_i, W_i, ALi, ARi, Bi = xs
@@ -232,6 +241,6 @@ def qp_right_envs_finite(qp, GRs, Ws):
         return xn, x
 
     x0 = jnp.zeros((w, D, D), dtype)
-    _, rBs = jax.lax.scan(body, x0, (GRs[1: L + 1], Ws, qp.ALs, qp.ARs, Bs),
+    _, rBs = jax.lax.scan(body, x0, (GRs[1: L + 1], Ws, ALs, ARs, Bs),
                           reverse=True)
     return rBs

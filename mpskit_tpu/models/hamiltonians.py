@@ -40,6 +40,39 @@ def transverse_field_ising_lattice(g: float = 1.0, period: int = 1,
     return Hzz + Hx
 
 
+def transverse_field_ising_parity(g: float = 1.0, period: int = 1,
+                                  dtype=np.float64) -> MPOHamiltonian:
+    """TFIM written in the basis where its Z2 spin-flip parity is diagonal:
+    H = -sum_bonds X X - g sum_sites Z (uniform field). Unitarily
+    equivalent to `transverse_field_ising_lattice` (X <-> Z), but here the
+    conserved Z2 charge is q = (1 - sigma_z)/2 in {0, 1} with mod-2
+    fusion, so the masked-dense symmetric backend
+    (symmetry/charges.py, modulus=2) applies directly — the setting of the
+    reference's Z2-charged quasiparticle demo
+    (docs/src/man/algorithms.md:196-211)."""
+    X, _, Z, I = pauli(dtype)
+    Hxx = MPOHamiltonian.from_local(-_two_site(X, X), period=period,
+                                    dtype=dtype)
+    Hz = MPOHamiltonian.from_local(-g * Z, period=period, dtype=dtype)
+    return Hxx + Hz
+
+
+def xx_chain_with_field(h: float = 0.0, period: int = 1,
+                        dtype=np.float64) -> MPOHamiltonian:
+    """Hopping chain H = -sum_bonds (XX + YY)/2 + h sum_i n_i with
+    n = (1 - Z)/2 — free fermions under Jordan-Wigner (OBC modes
+    eps_k = h - 2 cos(k pi / (L+1))). Conserves the U(1) particle number
+    (phys charges (0, 1)); the h >> 2 vacuum makes an exact charged-QP
+    oracle: the sector-(+1) excitation energies are the single-particle
+    modes."""
+    X, Y, Z, I = pauli(dtype)
+    hop = (_two_site(X, X) + np.real(_two_site(Y, Y))) / 2
+    n = (I - Z) / 2
+    Hhop = MPOHamiltonian.from_local(-hop, period=period, dtype=dtype)
+    Hn = MPOHamiltonian.from_local(h * n, period=period, dtype=dtype)
+    return Hhop + Hn
+
+
 def heisenberg_XXX(spin: float = 1, period: int = 1,
                    dtype=np.complex128) -> MPOHamiltonian:
     """H = 4 * sum_bonds S_i . S_{i+1} (reference test/setup.jl:46-65: the

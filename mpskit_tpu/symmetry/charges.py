@@ -34,9 +34,18 @@ import jax.numpy as jnp
 from ..states.finitemps import FiniteMPS, physical_bond_dims
 
 
+DEAD_LABEL = 10 ** 5  # labels >= this mark padded (dead) bond slots
+
+
+def _reduce(q, modulus):
+    """Reduce a charge mod n (Z_n) or leave it (U(1), modulus None)."""
+    return q if modulus is None else q % modulus
+
+
 def assign_bond_charges(L: int, phys_charges: Sequence[int], D: int,
                         total: int = 0,
-                        aux_charges: Sequence[int] = None) -> List[np.ndarray]:
+                        aux_charges: Sequence[int] = None,
+                        modulus: int = None) -> List[np.ndarray]:
     """Static charge label vectors for the L+1 bonds of a finite chain with
     total charge `total`: bond i gets labels drawn from the attainable
     partial-sum charges, with multiplicities proportional to the number of
@@ -46,11 +55,17 @@ def assign_bond_charges(L: int, phys_charges: Sequence[int], D: int,
     aux_charges: optional per-site auxiliary charge fused onto the physical
     leg (the masked-dense realization of the reference's
     `add_physical_charge`, sparsempo.jl:353-379): site i's conservation
-    rule becomes c_left + q_phys + aux[i] == c_right."""
+    rule becomes c_left + q_phys + aux[i] == c_right.
+
+    modulus: None for U(1); an integer n for Z_n fusion (all charges and
+    the conservation rule reduce mod n — e.g. the Z2 spin-flip parity of
+    the transverse-field Ising chain, reference
+    docs/src/man/algorithms.md:196-211)."""
     phys = np.asarray(phys_charges, int)
     d = len(phys)
     dims = physical_bond_dims(L, d, D)
     aux = np.zeros(L, int) if aux_charges is None else         np.asarray([aux_charges[i % len(aux_charges)] for i in range(L)], int)
+    total = _reduce(total, modulus)
 
     # forward path counts: ways to reach charge q after i sites
     fwd = [dict() for _ in range(L + 1)]
@@ -58,14 +73,16 @@ def assign_bond_charges(L: int, phys_charges: Sequence[int], D: int,
     for i in range(L):
         for q, n in fwd[i].items():
             for p in phys:
-                fwd[i + 1][q + p + aux[i]] =                     fwd[i + 1].get(q + p + aux[i], 0.0) + n
+                qn = _reduce(q + p + aux[i], modulus)
+                fwd[i + 1][qn] = fwd[i + 1].get(qn, 0.0) + n
     # backward counts: ways from charge q at bond i to `total` at bond L
     bwd = [dict() for _ in range(L + 1)]
     bwd[L][total] = 1.0
     for i in range(L - 1, -1, -1):
         for q, n in bwd[i + 1].items():
             for p in phys:
-                bwd[i][q - p - aux[i]] = bwd[i].get(q - p - aux[i], 0.0) + n
+                qn = _reduce(q - p - aux[i], modulus)
+                bwd[i][qn] = bwd[i].get(qn, 0.0) + n
 
     charges = []
     for i in range(L + 1):
@@ -117,9 +134,13 @@ def assign_bond_charges(L: int, phys_charges: Sequence[int], D: int,
 
 def charge_masks_finite(bond_charges: List[np.ndarray],
                         phys_charges: Sequence[int],
-                        aux_charges: Sequence[int] = None) -> np.ndarray:
+                        aux_charges: Sequence[int] = None,
+                        modulus: int = None) -> np.ndarray:
     """(L, D, d, D) boolean conservation masks; aux_charges optionally
-    shift the conservation rule per site (see assign_bond_charges)."""
+    shift the conservation rule per site (see assign_bond_charges);
+    modulus selects Z_n fusion (dead padded slots never match — their
+    labels are >= DEAD_LABEL and are gated out explicitly, since mod
+    reduction would otherwise alias them onto live charges)."""
     L = len(bond_charges) - 1
     D = bond_charges[0].shape[0]
     phys = np.asarray(phys_charges, int)
@@ -130,7 +151,36 @@ def charge_masks_finite(bond_charges: List[np.ndarray],
         cl = bond_charges[i][:, None, None]
         cp = phys[None, :, None] + a
         cr = bond_charges[i + 1][None, None, :]
-        masks[i] = (cl + cp) == cr
+        if modulus is None:
+            masks[i] = (cl + cp) == cr
+        else:
+            live = (cl < DEAD_LABEL) & (cr < DEAD_LABEL)
+            masks[i] = ((cl + cp - cr) % modulus == 0) & live
+    return masks
+
+
+def flux_masks_finite(bond_charges: List[np.ndarray],
+                      phys_charges: Sequence[int], sector: int,
+                      modulus: int = None) -> np.ndarray:
+    """(L, D, d, D) boolean masks for a site tensor carrying charge FLUX
+    `sector`: c_left + q_phys == c_right + sector (mod n). This is the
+    masked-dense realization of the reference's charged quasiparticle
+    utility leg (src/states/quasiparticle_state.jl:30-56, excitation space
+    `ℂ[typeof(sector)](sector => 1)`): a B tensor supported on this mask
+    raises the total chain charge by `sector`."""
+    L = len(bond_charges) - 1
+    D = bond_charges[0].shape[0]
+    phys = np.asarray(phys_charges, int)
+    masks = np.zeros((L, D, len(phys), D), bool)
+    for i in range(L):
+        cl = bond_charges[i][:, None, None]
+        cp = phys[None, :, None]
+        cr = bond_charges[i + 1][None, None, :]
+        live = (cl < DEAD_LABEL) & (cr < DEAD_LABEL)
+        if modulus is None:
+            masks[i] = ((cl + cp) == (cr + sector)) & live
+        else:
+            masks[i] = ((cl + cp - cr - sector) % modulus == 0) & live
     return masks
 
 
@@ -142,18 +192,29 @@ class SymmetricFiniteMPS:
     state: FiniteMPS
     bond_charges: Tuple[np.ndarray, ...]
     phys_charges: Tuple[int, ...]
+    modulus: int = None  # None = U(1); n = Z_n fusion
 
     @property
     def masks(self) -> np.ndarray:
         return charge_masks_finite(list(self.bond_charges),
-                                   list(self.phys_charges))
+                                   list(self.phys_charges),
+                                   modulus=self.modulus)
+
+    def flux_masks(self, sector: int) -> np.ndarray:
+        """Charged-excitation masks (see flux_masks_finite)."""
+        return flux_masks_finite(list(self.bond_charges),
+                                 list(self.phys_charges), sector,
+                                 modulus=self.modulus)
 
     @staticmethod
     def random(key, L: int, phys_charges: Sequence[int], D: int,
-               total: int = 0, dtype=jnp.complex128) -> "SymmetricFiniteMPS":
+               total: int = 0, dtype=jnp.complex128,
+               modulus: int = None) -> "SymmetricFiniteMPS":
         d = len(phys_charges)
-        bond_charges = assign_bond_charges(L, phys_charges, D, total)
-        masks = charge_masks_finite(bond_charges, phys_charges)
+        bond_charges = assign_bond_charges(L, phys_charges, D, total,
+                                           modulus=modulus)
+        masks = charge_masks_finite(bond_charges, phys_charges,
+                                    modulus=modulus)
         if jnp.issubdtype(dtype, jnp.complexfloating):
             rdt = jnp.zeros((), dtype).real.dtype
             k1, k2 = jax.random.split(key)
@@ -168,7 +229,8 @@ class SymmetricFiniteMPS:
                         psi.ARs * jnp.asarray(masks),
                         psi.AC * jnp.asarray(masks[0]), 0)
         return SymmetricFiniteMPS(psi, tuple(bond_charges),
-                                  tuple(int(q) for q in phys_charges))
+                                  tuple(int(q) for q in phys_charges),
+                                  modulus)
 
 
 def _labels_from_counts(counts: dict, D: int) -> np.ndarray:
@@ -195,7 +257,8 @@ def _labels_from_counts(counts: dict, D: int) -> np.ndarray:
 
 
 def uniform_bond_charges_cell(L: int, D: int, phys_charges: Sequence[int],
-                              window: int = None) -> List[np.ndarray]:
+                              window: int = None,
+                              modulus: int = None) -> List[np.ndarray]:
     """Charge labels for the L bonds of a uniform unit cell (bond i sits to
     the right of site i). Sector dimensions follow the path-count
     distribution of a half-window. When every physical charge is odd (e.g.
@@ -212,11 +275,12 @@ def uniform_bond_charges_cell(L: int, D: int, phys_charges: Sequence[int],
             new = {}
             for q, m in counts.items():
                 for p in phys:
-                    new[q + p] = new.get(q + p, 0.0) + m
+                    qn = _reduce(q + p, modulus)
+                    new[qn] = new.get(qn, 0.0) + m
             counts = new
         return counts
 
-    all_odd = bool(np.all(phys % 2 != 0))
+    all_odd = modulus is None and bool(np.all(phys % 2 != 0))
     even_lab = _labels_from_counts(counts_after(window), D)
     if not all_odd:
         return [even_lab.copy() for _ in range(L)]
@@ -236,21 +300,45 @@ class SymmetricInfiniteMPS:
     state: "object"
     bond_charges: Tuple[np.ndarray, ...]  # L arrays (D,), bond i right of site i
     phys_charges: Tuple[int, ...]
+    modulus: int = None  # None = U(1); n = Z_n fusion
 
     @property
     def masks(self):
         """(A_mask (L, D, d, D), C_mask (L, D, D))."""
         return uniform_charge_masks(list(self.bond_charges),
-                                    self.phys_charges)
+                                    self.phys_charges,
+                                    modulus=self.modulus)
+
+    def flux_masks(self, sector: int):
+        """(L, D, d, D) charged-excitation masks over the unit cell (see
+        flux_masks_finite): B_i supported here carries charge flux
+        `sector` between the surrounding ground-state bond labels."""
+        L = len(self.bond_charges)
+        D = self.bond_charges[0].shape[0]
+        phys = np.asarray(self.phys_charges, int)
+        out = np.zeros((L, D, len(phys), D), bool)
+        for i in range(L):
+            cl = self.bond_charges[(i - 1) % L][:, None, None]
+            cp = phys[None, :, None]
+            cr = self.bond_charges[i][None, None, :]
+            live = (cl < DEAD_LABEL) & (cr < DEAD_LABEL)
+            if self.modulus is None:
+                out[i] = ((cl + cp) == (cr + sector)) & live
+            else:
+                out[i] = ((cl + cp - cr - sector) % self.modulus == 0) & live
+        return out
 
     @staticmethod
     def random(key, L: int, phys_charges: Sequence[int], D: int,
-               dtype=jnp.complex128) -> "SymmetricInfiniteMPS":
+               dtype=jnp.complex128,
+               modulus: int = None) -> "SymmetricInfiniteMPS":
         from ..states.infinitemps import InfiniteMPS
 
         d = len(phys_charges)
-        bonds = uniform_bond_charges_cell(L, D, phys_charges)
-        A_mask, C_mask = uniform_charge_masks(bonds, phys_charges)
+        bonds = uniform_bond_charges_cell(L, D, phys_charges,
+                                          modulus=modulus)
+        A_mask, C_mask = uniform_charge_masks(bonds, phys_charges,
+                                              modulus=modulus)
         if jnp.issubdtype(dtype, jnp.complexfloating):
             rdt = jnp.zeros((), dtype).real.dtype
             k1, k2 = jax.random.split(key)
@@ -265,11 +353,12 @@ class SymmetricInfiniteMPS:
         psi = InfiniteMPS(psi.AL * Am, psi.AR * Am, psi.AC * Am,
                           psi.C * Cm)
         return SymmetricInfiniteMPS(psi, tuple(bonds),
-                                    tuple(int(q) for q in phys_charges))
+                                    tuple(int(q) for q in phys_charges),
+                                    modulus)
 
 
 def uniform_charge_masks(bond_charges: List[np.ndarray],
-                         phys_charges: Sequence[int]):
+                         phys_charges: Sequence[int], modulus: int = None):
     """(A_mask (L, D, d, D), C_mask (L, D, D)) for the unit-cell bonds.
     Site i's left bond is bond (i-1) mod L."""
     L = len(bond_charges)
@@ -279,10 +368,20 @@ def uniform_charge_masks(bond_charges: List[np.ndarray],
     A = np.zeros((L, D, d, D), bool)
     C = np.zeros((L, D, D), bool)
     for i in range(L):
-        cl = bond_charges[(i - 1) % L]
-        cr = bond_charges[i]
-        A[i] = (cl[:, None, None] + phys[None, :, None]) == cr[None, None, :]
-        C[i] = cr[:, None] == cr[None, :]
+        cl = bond_charges[(i - 1) % L][:, None, None]
+        cp = phys[None, :, None]
+        cr = bond_charges[i][None, None, :]
+        if modulus is None:
+            A[i] = (cl + cp) == cr
+        else:
+            live = (cl < DEAD_LABEL) & (cr < DEAD_LABEL)
+            A[i] = ((cl + cp - cr) % modulus == 0) & live
+        cb = bond_charges[i]
+        if modulus is None:
+            C[i] = cb[:, None] == cb[None, :]
+        else:
+            liveC = (cb[:, None] < DEAD_LABEL) & (cb[None, :] < DEAD_LABEL)
+            C[i] = ((cb[:, None] - cb[None, :]) % modulus == 0) & liveC
     return A, C
 
 
