@@ -78,7 +78,13 @@ def _warn_exp(alg, exp_err, env_resid=None, name="TDVP"):
 
 @partial(jax.jit, static_argnums=(3, 4, 5))
 def _timestep_infinite(psi: InfiniteMPS, H, dt, m: int, gauge_tol: float,
-                       env_tol: float, env_guess=None):
+                       env_tol: float, env_guess=None, A_mask=None,
+                       C_mask=None):
+    """A_mask/C_mask: optional abelian charge-conservation masks (see
+    symmetry/charges.py) applied after the exponentials and the regauge,
+    exactly like `_vumps_iteration`'s sector-constrained updates — the
+    exponential of a charge-conserving H_eff commutes with the masks, so
+    post-masking only removes rounding leakage."""
     L = psi.period
     envs = hamiltonian_environments(psi, H, tol=env_tol,
                                     env_init=env_guess)
@@ -95,10 +101,23 @@ def _timestep_infinite(psi: InfiniteMPS, H, dt, m: int, gauge_tol: float,
     ACs, errA = jax.vmap(evolve_ac)(envs.GLs, Ws, envs.GRs, psi.AC)
     Cs, errC = jax.vmap(evolve_c)(GL_next, envs.GRs, psi.C)
     exp_err = jnp.maximum(jnp.max(errA), jnp.max(errC))
+    if A_mask is not None:
+        ACs = ACs * A_mask.astype(ACs.dtype)
+        Cs = Cs * C_mask.astype(Cs.dtype)
     ACs = ACs / jnp.linalg.norm(ACs.reshape(L, -1), axis=1)[:, None, None, None]
     Cs = Cs / jnp.linalg.norm(Cs.reshape(L, -1), axis=1)[:, None, None]
 
     ALs = jax.vmap(regauge_ACC)(ACs, Cs)
+    if A_mask is not None:
+        # local regauge keeps the sector structure without the uniform
+        # re-gauging loops of from_AL (whose QR completions would refill
+        # the masked blocks); mirror the masked VUMPS iteration
+        from ..states.gauging import regauge_CAC
+
+        ALs = ALs * A_mask.astype(ALs.dtype)
+        C_prev = jnp.roll(Cs, 1, axis=0)
+        ARs = jax.vmap(regauge_CAC)(C_prev, ACs) * A_mask.astype(ACs.dtype)
+        return InfiniteMPS(ALs, ARs, ACs, Cs), envs, exp_err
     return (InfiniteMPS.from_AL(ALs, psi.C[L - 1], tol=gauge_tol), envs,
             exp_err)
 
@@ -109,10 +128,20 @@ def _timestep_infinite(psi: InfiniteMPS, H, dt, m: int, gauge_tol: float,
 
 @partial(jax.jit, static_argnums=(5,))
 def _timestep_finite(ALs, ARs, AC, Ws, GRs, m: int, dt=0.01,
-                     GL0=None, GRL=None):
+                     GL0=None, GRL=None, masks=None):
     """Symmetric second-order sweep: every site evolved forward by dt/2 in
     each direction with backward bond evolution in between. Starts and ends
-    with center = 0. GL0/GRL override the boundaries (WindowMPS)."""
+    with center = 0. GL0/GRL override the boundaries (WindowMPS).
+
+    masks: optional (L, D, d, D) masks (rank support and/or abelian charge
+    conservation) re-applied after every decomposition — at f32 the QR
+    completions at rank-deficient padded sites otherwise leak out of the
+    supported block (CLAUDE.md; measured ~1e-2 norm drift over 3 steps at
+    L=32 D=256 f32 without them). PRECONDITION: the input ALs/ARs and GRs
+    must already be masked/built from masked gauges — environments walked
+    through unmasked ARs carry live-row x dead-col junk blocks that make
+    H_eff move genuine weight off-support, which in-sweep masking then
+    deletes (measured 8.7e-4 norm loss PER STEP at L=5 D=8 f64)."""
     L, D = ALs.shape[0], ALs.shape[1]
     w = Ws.shape[1]
     dtype = AC.dtype
@@ -121,13 +150,19 @@ def _timestep_finite(ALs, ARs, AC, Ws, GRs, m: int, dt=0.01,
     if GRL is None:
         GRL = right_boundary(w, D, dtype)
     tau = -1j * (dt / 2)
+    if masks is None:
+        maskf = jnp.ones((L, 1, 1, 1), dtype)
+    else:
+        maskf = masks.astype(dtype)
 
     def stepL(carry, xs):
         AC, GL = carry
-        W, AR_next, GR_next, is_last = xs
+        W, AR_next, GR_next, is_last, mk = xs
         AC, errA = expm_multiply_err(
             lambda x: ac_apply(GL, W, GR_next, x), AC, tau, m)
+        AC = AC * mk
         AL, C = leftorth(AC)
+        AL = AL * mk
         GL_next = transfer_left_mpo(GL, W, AL, AL)
         # backward-evolve the bond (skipped on the last site)
         C, errC = jax.lax.cond(
@@ -145,17 +180,19 @@ def _timestep_finite(ALs, ARs, AC, Ws, GRs, m: int, dt=0.01,
 
     is_last = jnp.arange(L) == L - 1
     # GR for site i is GRs[i+1] (GRs[L] is the boundary)
-    xsL = (Ws, jnp.roll(ARs, -1, axis=0), GRs[1:], is_last)
+    xsL = (Ws, jnp.roll(ARs, -1, axis=0), GRs[1:], is_last, maskf)
     (AC, _), (ALs_n, GLs_scan, errsL) = jax.lax.scan(stepL, (AC, GL0), xsL)
     ALs = ALs_n
     GLs = GLs_scan  # GLs[i] = env left of site i
 
     def stepR(carry, xs):
         AC, GR = carry
-        W, AL_prev, GL_i, is_first = xs
+        W, AL_prev, GL_i, is_first, mk = xs
         AC, errA = expm_multiply_err(
             lambda x: ac_apply(GL_i, W, GR, x), AC, tau, m)
+        AC = AC * mk
         C, AR = rightorth(AC)
+        AR = AR * mk
         GR_prev = transfer_right_mpo(GR, W, AR, AR)
         C, errC = jax.lax.cond(
             is_first,
@@ -170,7 +207,7 @@ def _timestep_finite(ALs, ARs, AC, Ws, GRs, m: int, dt=0.01,
         return (AC_prev, GR_prev), (AR, GR, jnp.maximum(errA, errC))
 
     is_first = jnp.arange(L) == 0
-    xsR = (Ws, jnp.roll(ALs, 1, axis=0), GLs, is_first)
+    xsR = (Ws, jnp.roll(ALs, 1, axis=0), GLs, is_first, maskf)
     (AC, _), (ARs_n, GRs_scan, errsR) = jax.lax.scan(stepR, (AC, GRL), xsR,
                                                      reverse=True)
     ARs = ARs.at[1:].set(ARs_n[1:])
@@ -194,6 +231,42 @@ def timestep(psi, H, t, dt, alg=None, envs=None):
     if alg is None:
         alg = TDVP()
 
+    from ..symmetry.charges import SymmetricFiniteMPS, SymmetricInfiniteMPS
+
+    if isinstance(psi, SymmetricInfiniteMPS):
+        # U(1)/Z_n-conserving TDVP (reference genericity: symmetric states
+        # run through the same timestep, test/algorithms.jl:96-158)
+        import dataclasses as _dc
+
+        A_mask, C_mask = psi.masks
+        inner, envs, exp_err = _timestep_infinite(
+            psi.state, H, dt, alg.expalg_m, alg.gauge_tol, alg.env_tol,
+            env_guess=envs, A_mask=jnp.asarray(A_mask),
+            C_mask=jnp.asarray(C_mask))
+        _warn_exp(alg, exp_err, env_resid=envs.resid,
+                  name="TDVP(symmetric infinite)")
+        return _dc.replace(psi, state=inner), envs
+
+    if isinstance(psi, SymmetricFiniteMPS):
+        import dataclasses as _dc
+        from ..states.finitemps import support_mask
+
+        inner = psi.state.move_center(0)
+        L, D = inner.length, inner.D
+        cmask = jnp.asarray(psi.masks) & jnp.asarray(
+            support_mask(L, inner.physicaldim, D))
+        Ws = stack_W(H, L).astype(inner.dtype)
+        # mask the gauges BEFORE building environments (state-neutral) so
+        # H_eff is exactly block-preserving — see _timestep_finite docstring
+        mk = cmask.astype(inner.dtype)
+        ALs0, ARs0, AC0 = inner.ALs * mk, inner.ARs * mk, inner.AC * mk[0]
+        GRs = compute_right_envs(ARs0, Ws,
+                                 right_boundary(Ws.shape[1], D, inner.dtype))
+        ALs, ARs, AC, GRs, exp_err = _timestep_finite(
+            ALs0, ARs0, AC0, Ws, GRs, alg.expalg_m, dt=dt, masks=cmask)
+        _warn_exp(alg, exp_err, name="TDVP(symmetric finite)")
+        return _dc.replace(psi, state=FiniteMPS(ALs, ARs, AC, 0)), None
+
     if isinstance(psi, InfiniteMPS):
         # envs from the previous step warm-start the environment solves
         psi, envs, exp_err = _timestep_infinite(psi, H, dt, alg.expalg_m,
@@ -205,13 +278,18 @@ def timestep(psi, H, t, dt, alg=None, envs=None):
     if isinstance(psi, FiniteMPS):
         if isinstance(alg, TDVP2):
             return _timestep_finite2_entry(psi, H, dt, alg)
+        from ..states.finitemps import support_mask
+
         psi = psi.move_center(0)
         L, D = psi.length, psi.D
         Ws = stack_W(H, L).astype(psi.dtype)
         wdim = Ws.shape[1]
-        GRs = compute_right_envs(psi.ARs, Ws, right_boundary(wdim, D, psi.dtype))
+        smask = jnp.asarray(support_mask(L, psi.physicaldim, D))
+        mk = smask.astype(psi.dtype)
+        ALs0, ARs0, AC0 = psi.ALs * mk, psi.ARs * mk, psi.AC * mk[0]
+        GRs = compute_right_envs(ARs0, Ws, right_boundary(wdim, D, psi.dtype))
         ALs, ARs, AC, GRs, exp_err = _timestep_finite(
-            psi.ALs, psi.ARs, psi.AC, Ws, GRs, alg.expalg_m, dt=dt)
+            ALs0, ARs0, AC0, Ws, GRs, alg.expalg_m, dt=dt, masks=smask)
         _warn_exp(alg, exp_err, name="TDVP(finite)")
         return FiniteMPS(ALs, ARs, AC, 0), None
 

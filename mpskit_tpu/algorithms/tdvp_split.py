@@ -213,6 +213,17 @@ def timestep_split(psi_split, H, dt, m: int = 30, masks=None):
     D = ALs.shape[2]
     Ws = stack_W(H, L).astype(AC.dtype)
     w = Ws.shape[1]
+    if masks is not None:
+        # Mask the gauges BEFORE building environments (state-neutral: the
+        # dead-block QR junk never enters the physical contraction). Envs
+        # from unmasked ARs carry large live-row x dead-col junk blocks, so
+        # H_eff moves GENUINE weight off-support and the in-sweep masking
+        # then deletes it — measured 7.4e-3 norm loss over 3 steps at L=32
+        # D=256 on v5e before this fix (TPU_COMPLEX artifact history).
+        mk = masks.astype(AC.dtype)
+        ALs = ALs * mk[None]                    # (2, L, D, d, D)
+        ARs = ARs * mk[None]
+        AC = AC * mk[0][None]                   # center 0: (2, D, d, D)
     GRs = compute_right_envs_split(ARs, Ws, sc(right_boundary(w, D, AC.dtype)))
     ALs, ARs, AC, GRs, err = _timestep_finite_split(
         ALs, ARs, AC, Ws, GRs, m, dt=dt, masks=masks)

@@ -132,14 +132,24 @@ def qr_pos_split(M):
     tiny = 1e-30 if jnp.finfo(dtype).bits >= 64 else 1e-20
     rows = jnp.arange(m)
 
+    # the k sequential reflections accumulate projection rounding into the
+    # orthogonality of Q; at the TPU's X3 (3-pass bf16) matmul default the
+    # per-product error ~1e-6 random-walks to ~1e-2 norm drift over a TDVP
+    # step's ~2L QRs (measured on v5e at L=32 D=256) — pin the projections
+    # to HIGHEST (f32 X6). The rank-1 updates are elementwise (VPU) and
+    # unaffected.
+    PH = jax.lax.Precision.HIGHEST
+
     def _reflect(A, v):
         """A <- (I - 2 v v^dag) A with v normalized (or exactly zero for a
         skipped step — then the reflection is the identity). The factor-2
         normalized form is scale-invariant: no tau ~ 1/||x||^2 quantities,
         so noise-level columns never produce a non-unitary clamped
         reflection."""
-        wr = v[0] @ A[0] + v[1] @ A[1]          # Re(v^dag A)
-        wi = v[0] @ A[1] - v[1] @ A[0]          # Im(v^dag A)
+        wr = jnp.einsum("m,mn->n", v[0], A[0], precision=PH) + \
+            jnp.einsum("m,mn->n", v[1], A[1], precision=PH)   # Re(v^dag A)
+        wi = jnp.einsum("m,mn->n", v[0], A[1], precision=PH) - \
+            jnp.einsum("m,mn->n", v[1], A[0], precision=PH)   # Im(v^dag A)
         Ar = A[0] - 2.0 * (jnp.outer(v[0], wr) - jnp.outer(v[1], wi))
         Ai = A[1] - 2.0 * (jnp.outer(v[0], wi) + jnp.outer(v[1], wr))
         return jnp.stack([Ar, Ai])
