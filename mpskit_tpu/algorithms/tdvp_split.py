@@ -99,7 +99,15 @@ def expm_multiply_split(matvec, v, dt, m: int):
     y = yA + cmuli(yB)                          # sum c_j v_j
     last = jnp.clip(nvalid - 1, 0, m - 1)
     err = jnp.abs(beta[last]) * jnp.sqrt(cr[last] ** 2 + ci[last] ** 2)
-    return tree_scale(n0, y), err
+    # exp(-i dt A) is an exact isometry for Hermitian A, so ||y|| = 1 in
+    # exact arithmetic; at the TPU's X3 matmul precision the CGS basis
+    # loses orthonormality by ~1e-6 per product and the radial component
+    # of that error random-walks to ~1e-3 norm drift per step (measured
+    # L=16 D=64: 1e-3/step on v5e vs 4e-6 on CPU f32). Projecting back
+    # onto the sphere removes exactly the noise component; the energy is
+    # insensitive (it is a Rayleigh quotient).
+    ny = tree_norm(y)
+    return tree_scale(n0 / jnp.maximum(ny, 1e-30), y), err
 
 
 # ----------------------------------------------------------------------------
@@ -186,6 +194,14 @@ def _timestep_finite_split(ALs, ARs, AC, Ws, GRs, m: int, dt=0.01,
     ARs = jnp.swapaxes(ARs_new, 0, 1)
     GRs_new = jnp.concatenate([GRs_scan[0][None], GRs_scan], axis=0)
     exp_err = jnp.maximum(jnp.max(errsL), jnp.max(errsR))
+    # TDVP is a flow on the unit sphere (every local map is an isometry in
+    # exact arithmetic), so renormalizing the center once per step is the
+    # standard constraint-manifold projection — it removes ONLY rounding
+    # noise (the 2L-1 X3-precision QR panels contribute ~5e-4/step radial
+    # drift at L=32 D=256 on v5e; the tangent error is untouched and the
+    # energy, a Rayleigh quotient, is insensitive).
+    nAC = jnp.sqrt(jnp.sum(AC * AC))
+    AC = AC / jnp.maximum(nAC, 1e-30)
     return ALs, ARs, AC, GRs_new, exp_err
 
 

@@ -44,14 +44,20 @@ M_KRYLOV = 20
 
 PROBE_CODE = """
 import jax, jax.numpy as jnp, json
+# NOTE: constant inputs (zeros/ones) are folded at trace time and
+# falsely report OK on a backend with no complex support — every probe
+# must flow DEVICE-RANDOM data through the op and read the result back.
+k = jax.random.PRNGKey(0)
+a = jax.random.normal(k, (8, 8))
 out = {}
 for name, fn in [
-    ("zeros_c64", lambda: jnp.zeros((4,), jnp.complex64)),
-    ("matmul_c64", lambda: jax.jit(lambda a, b: a @ b)(
-        jnp.ones((8, 8), jnp.complex64), jnp.ones((8, 8), jnp.complex64))),
+    ("cast_c64", lambda: (a.astype(jnp.complex64) * 1j).sum()),
+    ("matmul_c64", lambda: jax.jit(lambda x: (x + 1j * x) @ (x - 1j * x))(a)),
+    ("fft_c64", lambda: jnp.fft.fft(a[0])),
 ]:
     try:
-        r = fn(); r.block_until_ready()
+        r = fn()
+        float(abs(jnp.asarray(r).ravel()[0]))  # force host readback
         out[name] = "OK"
     except Exception as e:
         out[name] = type(e).__name__ + ": " + str(e).splitlines()[0][:140]
