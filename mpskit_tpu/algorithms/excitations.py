@@ -459,6 +459,22 @@ def excitations(H, alg, *args, **kwargs):
 
     from ..symmetry.charges import SymmetricFiniteMPS
 
+    from ..symmetry.su2_reduced import ReducedMPO
+
+    if isinstance(H, ReducedMPO):
+        # SU(2) reduced path: sector is the excitation spin as 2j
+        # (reference passes an SU2Irrep sector through the QP utility leg,
+        # quasiparticle_state.jl:30-56)
+        from ..symmetry.su2_reduced_qp import excitations_su2_reduced
+
+        assert isinstance(alg, QuasiparticleAnsatz)
+        momenta, psi = args[0], args[1]
+        tke = kwargs.pop("sector", 2)
+        return excitations_su2_reduced(
+            H, psi, momenta, tke=tke, tol=alg.tol,
+            krylovdim=alg.krylovdim, maxrestarts=alg.maxrestarts,
+            env_tol=alg.env_tol,
+            **{k: v for k, v in kwargs.items() if k in ("num", "key")})
     if isinstance(alg, QuasiparticleAnsatz):
         if isinstance(H, DenseMPO):
             from .excitations_statmech import excitations_boundary

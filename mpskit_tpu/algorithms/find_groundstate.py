@@ -29,6 +29,25 @@ def find_groundstate(psi, H, alg=None, envs=None, tol: float = 1e-10,
         H = H.sum_materialized() if isinstance(H, LazySum) else H.eval_at(0.0)
     kw = {} if verbosity is None else {"verbosity": verbosity}
 
+    from ..symmetry.su2_reduced import (
+        SU2ReducedState, ReducedMPO, find_groundstate_su2_reduced)
+
+    if isinstance(psi, SU2ReducedState):
+        # SU(2) reduced-coordinate states run the reduced VUMPS (the
+        # reference reaches the same physics through TensorKit Rep[SU2]
+        # genericity). Returns (state, e_density, eps) — the middle slot
+        # carries the energy density instead of an env container.
+        if not isinstance(H, ReducedMPO):
+            raise TypeError(
+                f"SU2ReducedState needs a ReducedMPO, got {type(H)}")
+        if alg is not None and not isinstance(alg, VUMPS):
+            raise TypeError(
+                f"SU2ReducedState supports VUMPS, got {type(alg)}")
+        a = alg or VUMPS(tol=max(tol, 1e-9), maxiter=maxiter)
+        return find_groundstate_su2_reduced(
+            psi, H, tol=a.tol, maxiter=a.maxiter, krylovdim=a.krylovdim,
+            verbosity=getattr(a, "verbosity", 0))
+
     if alg is None:
         if isinstance(psi, FiniteMPS):
             if trscheme is not None:

@@ -52,3 +52,20 @@ from .multiplicity import (
     rep_s3,
     rep_a4,
 )
+from .su2 import (
+    SU2Bond,
+    SU2InfiniteMPS,
+    find_groundstate_su2_vumps,
+)
+from .su2_reduced import (
+    SU2ReducedState,
+    ReducedMPO,
+    heisenberg_reduced,
+    bilinear_biquadratic_reduced,
+    find_groundstate_su2_reduced,
+    schmidt_spectrum_reduced,
+)
+from .su2_reduced_qp import (
+    ReducedQP,
+    excitations_su2_reduced,
+)
