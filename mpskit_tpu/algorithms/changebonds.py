@@ -122,6 +122,21 @@ def changebonds(psi, *args):
             psi = changebonds(psi, *((stage,) if H is None else (H, stage)))
         return psi
 
+    # SU(2)-reduced finite chains: OptimalExpand grows MULTIPLET counts
+    # per bond from the projected two-site derivative (reference runs the
+    # same changebonds on Rep[SU2] spaces, test/algorithms.jl:14-93)
+    from ..symmetry.su2_finite import SU2FiniteMPS, expand_bond_reduced
+
+    if isinstance(psi, SU2FiniteMPS):
+        if isinstance(alg, OptimalExpand):
+            assert H is not None, "OptimalExpand needs the Hamiltonian"
+            for bond in range(1, psi.length):
+                psi = expand_bond_reduced(psi, H, bond,
+                                          extra_mult=alg.dims)
+            return psi
+        raise TypeError(
+            f"SU2FiniteMPS supports OptimalExpand, got {type(alg)}")
+
     # Multiline / MPO containers (reference svdcut.jl:25-33,
     # randexpand.jl:36-37, optimalexpand.jl:39-45)
     from ..states.multiline import MPSMultiline

@@ -33,20 +33,60 @@ def find_groundstate(psi, H, alg=None, envs=None, tol: float = 1e-10,
         SU2ReducedState, ReducedMPO, find_groundstate_su2_reduced)
 
     if isinstance(psi, SU2ReducedState):
-        # SU(2) reduced-coordinate states run the reduced VUMPS (the
-        # reference reaches the same physics through TensorKit Rep[SU2]
-        # genericity). Returns (state, e_density, eps) — the middle slot
-        # carries the energy density instead of an env container.
+        # Uniform SU(2) reduced-coordinate states run the reduced VUMPS
+        # (the reference reaches the same physics through TensorKit
+        # Rep[SU2] genericity). Returns (state, e_density, eps) — the
+        # middle slot carries the energy density instead of an env
+        # container. Finite SU(2) chains use SU2FiniteMPS below, which
+        # carries the full DMRG/DMRG2/TDVP/changebonds surface.
         if not isinstance(H, ReducedMPO):
             raise TypeError(
                 f"SU2ReducedState needs a ReducedMPO, got {type(H)}")
         if alg is not None and not isinstance(alg, VUMPS):
             raise TypeError(
-                f"SU2ReducedState supports VUMPS, got {type(alg)}")
+                f"uniform SU2ReducedState supports VUMPS, got {type(alg)};"
+                " finite-chain algorithms run on SU2FiniteMPS")
         a = alg or VUMPS(tol=max(tol, 1e-9), maxiter=maxiter)
         return find_groundstate_su2_reduced(
             psi, H, tol=a.tol, maxiter=a.maxiter, krylovdim=a.krylovdim,
             verbosity=getattr(a, "verbosity", 0))
+
+    from ..symmetry.su2_finite import (
+        SU2FiniteMPS, SU2DMRG, SU2DMRG2,
+        find_groundstate_su2_finite_dmrg, find_groundstate_su2_finite_dmrg2)
+
+    if isinstance(psi, SU2FiniteMPS):
+        # reduced finite chains: DMRG / DMRG2 with dynamic multiplet
+        # allocation (reference runs the same solvers on Rep[SU2] spaces,
+        # test/algorithms.jl:14-93). Generic DMRG/DMRG2 algs translate to
+        # their reduced counterparts.
+        if not isinstance(H, ReducedMPO):
+            raise TypeError(
+                f"SU2FiniteMPS needs a ReducedMPO, got {type(H)}")
+        if alg is None:
+            a2 = SU2DMRG2(tol=max(tol, 1e-10), maxiter=maxiter)
+            psi, e, eps = find_groundstate_su2_finite_dmrg2(psi, H, a2)
+            if eps > tol:
+                psi, e, eps = find_groundstate_su2_finite_dmrg(
+                    psi, H, SU2DMRG(tol=tol, maxiter=maxiter))
+            return psi, e, eps
+        if isinstance(alg, SU2DMRG):
+            return find_groundstate_su2_finite_dmrg(psi, H, alg)
+        if isinstance(alg, SU2DMRG2):
+            return find_groundstate_su2_finite_dmrg2(psi, H, alg)
+        if isinstance(alg, DMRG):
+            return find_groundstate_su2_finite_dmrg(
+                psi, H, SU2DMRG(tol=alg.tol, maxiter=alg.maxiter,
+                                krylovdim=alg.krylovdim,
+                                verbosity=alg.verbosity))
+        if isinstance(alg, DMRG2):
+            return find_groundstate_su2_finite_dmrg2(
+                psi, H, SU2DMRG2(tol=alg.tol, maxiter=alg.maxiter,
+                                 krylovdim=alg.krylovdim,
+                                 verbosity=alg.verbosity))
+        raise TypeError(
+            f"SU2FiniteMPS supports DMRG/DMRG2 (or SU2DMRG/SU2DMRG2), "
+            f"got {type(alg)}")
 
     if alg is None:
         if isinstance(psi, FiniteMPS):

@@ -232,6 +232,19 @@ def timestep(psi, H, t, dt, alg=None, envs=None):
         alg = TDVP()
 
     from ..symmetry.charges import SymmetricFiniteMPS, SymmetricInfiniteMPS
+    from ..symmetry.su2_finite import (
+        SU2FiniteMPS, SU2TDVP, timestep_su2_finite_tdvp)
+
+    if isinstance(psi, SU2FiniteMPS):
+        # SU(2)-reduced finite TDVP (reference evolves symmetric states
+        # through the same timestep, test/algorithms.jl:96-158)
+        import dataclasses as _dc
+        a = (_dc.replace(alg, dt=dt) if isinstance(alg, SU2TDVP)
+             else SU2TDVP(dt=dt, krylovdim=min(alg.expalg_m, 24)))
+        psi, exp_err = timestep_su2_finite_tdvp(psi, H, a)
+        if not isinstance(alg, SU2TDVP):
+            _warn_exp(alg, exp_err, name="TDVP(SU2-reduced finite)")
+        return psi, None
 
     if isinstance(psi, SymmetricInfiniteMPS):
         # U(1)/Z_n-conserving TDVP (reference genericity: symmetric states

@@ -69,3 +69,14 @@ from .su2_reduced_qp import (
     ReducedQP,
     excitations_su2_reduced,
 )
+from .su2_finite import (
+    SU2FiniteMPS,
+    SU2DMRG,
+    SU2DMRG2,
+    SU2TDVP,
+    find_groundstate_su2_finite_dmrg,
+    find_groundstate_su2_finite_dmrg2,
+    expand_bond_reduced,
+    timestep_su2_finite_tdvp,
+    energy_reduced,
+)
