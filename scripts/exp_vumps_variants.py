@@ -18,6 +18,8 @@ import numpy as np
 import mpskit_tpu
 from mpskit_tpu.environments import infinite_ham as ih
 ih._ENV_RESTART = env_restart
+# env_tol_x scales the inner environment-solve tolerance (1.0 = the
+# dtype-floor model in hamiltonian_environments); applied below via tol
 
 # patch the local-solve reorth by rebuilding the jitted iteration with the
 # requested mode (the module hardcodes "local")
@@ -31,7 +33,8 @@ from mpskit_tpu.environments.infinite_ham import hamiltonian_environments
 @partial(jax.jit, static_argnums=(2, 3))
 def iteration(psi, H, m, restarts, inner_tol, env_guess=None):
     L = psi.period
-    envs = hamiltonian_environments(psi, H, tol=1e-8, env_init=env_guess)
+    envs = hamiltonian_environments(psi, H, tol=1e-8 * tol_x,
+                                    env_init=env_guess)
     Ws = jnp.stack([H.site(i) for i in range(L)]).astype(psi.dtype)
 
     def solve_ac(GL, W, GR, AC):
