@@ -7,18 +7,24 @@ Each line is {"metric", "value", "unit", "vs_baseline", "vs_1core_cpu"}.
 
 vs_baseline compares against a 64-core CPU reference derived from a
 MEASURED single-core CPU run of the exact same code (XLA CPU backend,
-float64, w=3 lattice TFIM: 36.80 s/sweep for the DMRG sweep, 2.88 s/iter
-for the VUMPS steady-state iteration — scripts/bench_cpu_ref.py,
-re-measured on an idle single-core host after every round-3 solver
-optimization, which accelerate the CPU path too, and with the SAME
-warmup protocol as the TPU timing loops) scaled by an idealized 64x.
-Perfect CPU scaling is assumed because the reference library publishes
-no numbers (see BASELINE.md); that makes the denominator an UNBEATABLE
-lower bound for any real 64-core CPU run — Krylov-dominated sweeps with
-sequential site updates scale nowhere near 64x (BLAS threading on D=512
-GEMMs typically buys 8-16x), so vs_baseline UNDERSTATES the true speedup
-by roughly 4-8x. The single-core ratio is value-free to compute from the
-numbers above. vs_baseline > 1 means faster.
+float64, w=3 lattice TFIM: 24.44 s/sweep for the DMRG sweep, 1.699
+s/iter for the VUMPS steady-state iteration — scripts/bench_cpu_ref.py,
+re-measured round 5 on an idle single-core host with EXACTLY matched
+protocols: same cheap_galerkin sweep path, same 1-warm + 3-timed sweep
+window, same 8-warm + iterations-9..40 scan-batched VUMPS window, and
+after the round-5 solver changes which accelerate the CPU path too —
+the fastest of three runs, i.e. the denominator least favorable to the
+TPU) scaled by an idealized 64x. Perfect CPU scaling is assumed because
+the reference library publishes no numbers (see BASELINE.md; this
+container has nproc=1, so a measured multi-core run is impossible
+here); that makes the denominator an UNBEATABLE lower bound for any
+real 64-core CPU run — Krylov-dominated sweeps with sequential site
+updates scale nowhere near 64x (BLAS threading on D=512 GEMMs typically
+buys 8-16x), so vs_baseline UNDERSTATES the true speedup by roughly
+4-8x. The single-core ratio is value-free to compute from the numbers
+above. vs_baseline > 1 means faster. BASELINE.md "Measured ceiling"
+derives the maximum attainable sweep vs_baseline from the measured MXU
+roofline + QR custom-call floor.
 """
 
 import json
@@ -39,12 +45,12 @@ RESTARTS = 2
 DTYPE = jnp.float32  # MXU path; float64 available for 1e-8 parity runs
 
 # measured 1-core CPU (idle host, same code, f64; scripts/bench_cpu_ref.py
-# re-measured round 3 AFTER the probe-reuse/cheap-galerkin/basis-write
-# optimizations, which speed the CPU path up too: 40.50 -> 36.80 s/sweep,
-# and with the matched 8-iteration VUMPS warmup 3.66 -> 2.88 s/iter),
-# divided by an idealized perfect 64x scaling
-CPU_REFERENCE_SWEEP_S = 36.80 / 64
-CPU_REFERENCE_VUMPS_S = 2.8832 / 64
+# re-measured round 5 with exactly matched protocols — see module
+# docstring; history: 40.50 (r2) -> 36.80 (r3, pre-protocol-match) ->
+# 24.44 s/sweep; VUMPS 3.66 -> 2.88 -> 1.699 s/iter), divided by an
+# idealized perfect 64x scaling
+CPU_REFERENCE_SWEEP_S = 24.44 / 64
+CPU_REFERENCE_VUMPS_S = 1.6989 / 64
 D_VUMPS = 256
 VUMPS_WARMUP = 8   # iterations before timing (see bench_vumps docstring)
 
@@ -54,7 +60,8 @@ def bench_vumps():
     infinite TFIM at D=256 — the second BASELINE.md metric."""
     from mpskit_tpu.models.hamiltonians import transverse_field_ising_lattice
     from mpskit_tpu.states import InfiniteMPS
-    from mpskit_tpu.algorithms.vumps import _vumps_iteration
+    from mpskit_tpu.algorithms.vumps import (_vumps_iteration,
+                                             _vumps_iterations_scan)
     from mpskit_tpu.config import matmul_precision
     import numpy as np
 
@@ -75,11 +82,32 @@ def bench_vumps():
             psi, eps, env, _d = _vumps_iteration(
                 psi, H, KRYLOVDIM, RESTARTS, 1e-8, 1e-8, tol, env_guess=env)
         float(eps)           # host readback = real sync on axon
-        n = 4
+        # Timed as ONE device-side batch of 32 iterations (lax.scan over
+        # the iteration body — VUMPS(device_batch=32), the production
+        # setting on this backend): a VUMPS run executes hundreds of
+        # back-to-back iterations, and the axon tunnel charges ~0.5-5 ms
+        # of host dispatch latency PER CALL (measured round 5,
+        # scripts/exp_r5_sweep_qr.py: the identical jitted iteration
+        # times 12.4 ms/iter when dispatched one-by-one at depth 4 but
+        # 5.7 ms at pipeline depth 32). The timed window is iterations
+        # 9..40 — the ACTIVELY CONVERGING warm-started regime (timing
+        # deeper windows measures post-converged solves whose exit_tol
+        # truncation degenerates the iteration to probes, ~12x cheaper
+        # on both backends and representative of nothing). The scan is
+        # compiled by a dry call on the SAME inputs (no donation — the
+        # state is untouched), so the timed call replays exactly
+        # iterations 9..40. The CPU reference runs the SAME scan-batched
+        # code with the SAME protocol (it gains nothing from batching —
+        # in-process XLA CPU has no dispatch gap), so the ratio charges
+        # neither side for the tunnel.
+        n = 32
+        # compile + execute once on the same inputs; sync before timing
+        _, eps_dry, _, _ = _vumps_iterations_scan(
+            psi, H, KRYLOVDIM, RESTARTS, 1e-8, 1e-8, n, tol, envs=env)
+        float(eps_dry)
         t0 = time.perf_counter()
-        for _ in range(n):
-            psi, eps, env, _d = _vumps_iteration(
-                psi, H, KRYLOVDIM, RESTARTS, 1e-8, 1e-8, tol, env_guess=env)
+        psi, eps, env, _d = _vumps_iterations_scan(
+            psi, H, KRYLOVDIM, RESTARTS, 1e-8, 1e-8, n, tol, envs=env)
         float(eps)
         dt = (time.perf_counter() - t0) / n
     assert np.isfinite(float(eps))

@@ -467,14 +467,21 @@ def excitations(H, alg, *args, **kwargs):
         # quasiparticle_state.jl:30-56)
         from ..symmetry.su2_reduced_qp import excitations_su2_reduced
 
-        assert isinstance(alg, QuasiparticleAnsatz)
+        if not isinstance(alg, QuasiparticleAnsatz):
+            raise TypeError(
+                "ReducedMPO excitations support only QuasiparticleAnsatz, "
+                f"got {type(alg).__name__}")
         momenta, psi = args[0], args[1]
         tke = kwargs.pop("sector", 2)
+        unknown = set(kwargs) - {"num", "key"}
+        if unknown:
+            raise TypeError(
+                f"excitations(ReducedMPO, ...): unsupported keyword(s) "
+                f"{sorted(unknown)}; the reduced path accepts num/key/sector")
         return excitations_su2_reduced(
             H, psi, momenta, tke=tke, tol=alg.tol,
             krylovdim=alg.krylovdim, maxrestarts=alg.maxrestarts,
-            env_tol=alg.env_tol,
-            **{k: v for k, v in kwargs.items() if k in ("num", "key")})
+            env_tol=alg.env_tol, **kwargs)
     if isinstance(alg, QuasiparticleAnsatz):
         if isinstance(H, DenseMPO):
             from .excitations_statmech import excitations_boundary

@@ -84,8 +84,11 @@ def compute_right_envs_split(ARs, Ws, GR_boundary):
 
 def expm_multiply_split(matvec, v, dt, m: int):
     """exp(-i dt A) v for Hermitian complex-linear A given in split form.
-    Returns (y, err) with err the Saad truncation estimate (linalg/expm.py).
-    """
+    Returns (y, err, drift): err is the Saad truncation estimate
+    (linalg/expm.py); drift is the PRE-projection radial error |ny/n0 - 1|
+    — the honest norm-loss diagnostic (the returned y is projected back to
+    norm n0, so measuring ||y|| downstream is true by construction and
+    would hide mask/gauge norm-loss bugs)."""
     n0 = tree_norm(v)
     V, alpha, beta, nvalid = lanczos_factorize(matvec, v, m)
     T = _tridiag(alpha, beta, nvalid, 0.0)
@@ -106,8 +109,11 @@ def expm_multiply_split(matvec, v, dt, m: int):
     # L=16 D=64: 1e-3/step on v5e vs 4e-6 on CPU f32). Projecting back
     # onto the sphere removes exactly the noise component; the energy is
     # insensitive (it is a Rayleigh quotient).
+    # y is assembled from the UNIT-normalized start vector, so in exact
+    # arithmetic ||y|| = 1; the radial rounding error is |ny - 1|
     ny = tree_norm(y)
-    return tree_scale(n0 / jnp.maximum(ny, 1e-30), y), err
+    drift = jnp.abs(ny - 1.0)
+    return tree_scale(n0 / jnp.maximum(ny, 1e-30), y), err, drift
 
 
 # ----------------------------------------------------------------------------
@@ -139,15 +145,16 @@ def _timestep_finite_split(ALs, ARs, AC, Ws, GRs, m: int, dt=0.01,
     def stepL(carry, xs):
         AC, GL = carry
         W, AR_next, GR_next, is_last, mk = xs
-        AC, errA = expm_multiply_split(
+        AC, errA, drA = expm_multiply_split(
             lambda x: ac_apply_split(GL, W, GR_next, x), AC, h, m)
         AC = AC * mk[None]
         AL, C = leftorth_split(AC)
         AL = AL * mk[None]
         GL_next = transfer_left_mpo_split(GL, W, AL)
-        C, errC = jax.lax.cond(
+        C, errC, drC = jax.lax.cond(
             is_last,
-            lambda C: (C, jnp.zeros((), errA.dtype)),
+            lambda C: (C, jnp.zeros((), errA.dtype),
+                       jnp.zeros((), drA.dtype)),
             lambda C: expm_multiply_split(
                 lambda x: c_apply_split(GL_next, GR_next, x), C, -h, m),
             C,
@@ -155,27 +162,30 @@ def _timestep_finite_split(ALs, ARs, AC, Ws, GRs, m: int, dt=0.01,
         AC_next = ceinsum("lm,mpr->lpr", C, AR_next)
         AC_last = ceinsum("lpm,mr->lpr", AL, C)
         AC_next = jnp.where(is_last, AC_last, AC_next)
-        return (AC_next, GL_next), (AL, GL, jnp.maximum(errA, errC))
+        return (AC_next, GL_next), (AL, GL, jnp.maximum(errA, errC),
+                                    jnp.maximum(drA, drC))
 
     is_last = jnp.arange(L) == L - 1
     ARs_t = jnp.swapaxes(ARs, 0, 1)
     xsL = (Ws, jnp.roll(ARs_t, -1, axis=0), GRs[1:], is_last, maskf)
-    (AC, _), (ALs_n, GLs_scan, errsL) = jax.lax.scan(stepL, (AC, GL0), xsL)
+    (AC, _), (ALs_n, GLs_scan, errsL, driftsL) = jax.lax.scan(
+        stepL, (AC, GL0), xsL)
     ALs = jnp.swapaxes(ALs_n, 0, 1)
     GLs = GLs_scan                              # (L, 2, w, D, D)
 
     def stepR(carry, xs):
         AC, GR = carry
         W, AL_prev, GL_i, is_first, mk = xs
-        AC, errA = expm_multiply_split(
+        AC, errA, drA = expm_multiply_split(
             lambda x: ac_apply_split(GL_i, W, GR, x), AC, h, m)
         AC = AC * mk[None]
         C, AR = rightorth_split(AC)
         AR = AR * mk[None]
         GR_prev = transfer_right_mpo_split(GR, W, AR)
-        C, errC = jax.lax.cond(
+        C, errC, drC = jax.lax.cond(
             is_first,
-            lambda C: (C, jnp.zeros((), errA.dtype)),
+            lambda C: (C, jnp.zeros((), errA.dtype),
+                       jnp.zeros((), drA.dtype)),
             lambda C: expm_multiply_split(
                 lambda x: c_apply_split(GL_i, GR_prev, x), C, -h, m),
             C,
@@ -183,17 +193,21 @@ def _timestep_finite_split(ALs, ARs, AC, Ws, GRs, m: int, dt=0.01,
         AC_prev = ceinsum("lpm,mr->lpr", AL_prev, C)
         AC_first = ceinsum("lm,mpr->lpr", C, AR)
         AC_prev = jnp.where(is_first, AC_first, AC_prev)
-        return (AC_prev, GR_prev), (AR, GR, jnp.maximum(errA, errC))
+        return (AC_prev, GR_prev), (AR, GR, jnp.maximum(errA, errC),
+                                    jnp.maximum(drA, drC))
 
     is_first = jnp.arange(L) == 0
     ALs_t = jnp.swapaxes(ALs, 0, 1)
     xsR = (Ws, jnp.roll(ALs_t, 1, axis=0), GLs, is_first, maskf)
-    (AC, _), (ARs_n, GRs_scan, errsR) = jax.lax.scan(stepR, (AC, GRL), xsR,
-                                                     reverse=True)
+    (AC, _), (ARs_n, GRs_scan, errsR, driftsR) = jax.lax.scan(
+        stepR, (AC, GRL), xsR, reverse=True)
     ARs_new = jnp.swapaxes(ARs, 0, 1).at[1:].set(ARs_n[1:])
     ARs = jnp.swapaxes(ARs_new, 0, 1)
     GRs_new = jnp.concatenate([GRs_scan[0][None], GRs_scan], axis=0)
     exp_err = jnp.maximum(jnp.max(errsL), jnp.max(errsR))
+    # pre-projection radial drift, the honest norm-loss diagnostic
+    # (ADVICE r4: the projected state's norm is 1 by construction)
+    norm_drift = jnp.maximum(jnp.max(driftsL), jnp.max(driftsR))
     # TDVP is a flow on the unit sphere (every local map is an isometry in
     # exact arithmetic), so renormalizing the center once per step is the
     # standard constraint-manifold projection — it removes ONLY rounding
@@ -201,8 +215,9 @@ def _timestep_finite_split(ALs, ARs, AC, Ws, GRs, m: int, dt=0.01,
     # drift at L=32 D=256 on v5e; the tangent error is untouched and the
     # energy, a Rayleigh quotient, is insensitive).
     nAC = jnp.sqrt(jnp.sum(AC * AC))
+    norm_drift = jnp.maximum(norm_drift, jnp.abs(nAC - 1.0))
     AC = AC / jnp.maximum(nAC, 1e-30)
-    return ALs, ARs, AC, GRs_new, exp_err
+    return ALs, ARs, AC, GRs_new, exp_err, norm_drift
 
 
 @partial(jax.jit, static_argnames=("m",))
@@ -220,8 +235,10 @@ def expectation_value_split(AC, Ws, GRs, m=None):
 def timestep_split(psi_split, H, dt, m: int = 30, masks=None):
     """One split-complex TDVP step on a finite state given as
     (ALs, ARs, AC) split arrays with center 0. Returns the updated triple
-    plus (GRs, exp_err). masks: optional (L, D, d, D) support masks (see
-    `_timestep_finite_split`)."""
+    plus (GRs, exp_err, norm_drift) — norm_drift is the max PRE-projection
+    radial error of the step's Krylov exponentials (see
+    `_timestep_finite_split`). masks: optional (L, D, d, D) support
+    masks."""
     from ..environments.finite import stack_W
 
     ALs, ARs, AC = psi_split
@@ -241,6 +258,6 @@ def timestep_split(psi_split, H, dt, m: int = 30, masks=None):
         ARs = ARs * mk[None]
         AC = AC * mk[0][None]                   # center 0: (2, D, d, D)
     GRs = compute_right_envs_split(ARs, Ws, sc(right_boundary(w, D, AC.dtype)))
-    ALs, ARs, AC, GRs, err = _timestep_finite_split(
+    ALs, ARs, AC, GRs, err, drift = _timestep_finite_split(
         ALs, ARs, AC, Ws, GRs, m, dt=dt, masks=masks)
-    return (ALs, ARs, AC), GRs, err
+    return (ALs, ARs, AC), GRs, err, drift

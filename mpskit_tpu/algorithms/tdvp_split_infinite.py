@@ -294,7 +294,9 @@ def _timestep_infinite_split(psi_split, H, m: int, dt, env_tol_static,
                              env_guess=None):
     """One infinite TDVP step of size dt in split arithmetic.
     psi_split = (AL, AR, AC, C) split arrays with a leading (2,) re/im
-    axis then the unit-cell axis. Returns (psi_split', envs, exp_err)."""
+    axis then the unit-cell axis. Returns (psi_split', envs, exp_err,
+    norm_drift) — norm_drift is the max pre-projection radial error of
+    the Krylov exponentials (the honest norm-loss diagnostic)."""
     AL, AR, AC, C = psi_split
     L = AL.shape[1]
     Ws = jnp.stack([H.site(i) for i in range(L)]).astype(AL.dtype)
@@ -310,17 +312,20 @@ def _timestep_infinite_split(psi_split, H, m: int, dt, env_tol_static,
             lambda x: c_apply_split_env(GL_next, GR, x), Ci, dt, m)
 
     GL_next = jnp.roll(GLs, -1, axis=1)
-    ACs, errA = jax.vmap(evolve_ac, in_axes=(1, 0, 1, 1),
-                         out_axes=(1, 0))(GLs, Ws, GRs, AC)
-    Cs, errC = jax.vmap(evolve_c, in_axes=(1, 1, 1),
-                        out_axes=(1, 0))(GL_next, GRs, C)
+    ACs, errA, drA = jax.vmap(evolve_ac, in_axes=(1, 0, 1, 1),
+                              out_axes=(1, 0, 0))(GLs, Ws, GRs, AC)
+    Cs, errC, drC = jax.vmap(evolve_c, in_axes=(1, 1, 1),
+                             out_axes=(1, 0, 0))(GL_next, GRs, C)
     exp_err = jnp.maximum(jnp.max(errA), jnp.max(errC))
+    # pre-projection radial drift of the Krylov exponentials (ADVICE r4:
+    # the projected outputs are norm-preserving by construction)
+    norm_drift = jnp.maximum(jnp.max(drA), jnp.max(drC))
 
     ALs = jax.vmap(regauge_ACC_split, in_axes=(1, 1), out_axes=1)(ACs, Cs)
     C_prev = jnp.roll(Cs, 1, axis=1)
     ARs = jax.vmap(regauge_CAC_split, in_axes=(1, 1), out_axes=1)(C_prev,
                                                                   ACs)
-    return (ALs, ARs, ACs, Cs), (GLs, GRs, e, resid), exp_err
+    return (ALs, ARs, ACs, Cs), (GLs, GRs, e, resid), exp_err, norm_drift
 
 
 def split_state_from_infinite(psi):

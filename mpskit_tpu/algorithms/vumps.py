@@ -31,6 +31,14 @@ from .unionalg import Chainable
 
 @dataclasses.dataclass(frozen=True)
 class VUMPS(Chainable):
+    """device_batch: run this many iterations per jit dispatch (a
+    `lax.scan` over the iteration body, environments carried through).
+    Convergence is checked on the host once per batch, so up to
+    device_batch - 1 extra iterations may run past tolerance; >1 is the
+    production setting on remote-dispatch backends (the axon TPU tunnel
+    costs ~0.5-5 ms of host latency per call — round-5 measurements in
+    ROADMAP.md — which a batch of 16-32 removes entirely)."""
+
     tol: float = 1e-10
     maxiter: int = Defaults.maxiter
     krylovdim: int = Defaults.krylovdim
@@ -38,12 +46,13 @@ class VUMPS(Chainable):
     gauge_tol: float = Defaults.tolgauge
     verbosity: int = Defaults.verbosity
     finalize: Optional[Callable] = None
+    device_batch: int = 1
 
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5))
-def _vumps_iteration(psi: InfiniteMPS, H, m: int, restarts: int,
-                     gauge_tol: float, env_tol_static: float, inner_tol=1e-6,
-                     A_mask=None, C_mask=None, env_guess=None):
+def _vumps_iteration_impl(psi: InfiniteMPS, H, m: int, restarts: int,
+                          gauge_tol: float, env_tol_static: float,
+                          inner_tol=1e-6, A_mask=None, C_mask=None,
+                          env_guess=None):
     """One VUMPS iteration: returns (psi', eps, envs). Optional A/C masks
     enforce charge-sector (and support) structure after every
     decomposition; `env_guess` (the previous iteration's environments)
@@ -66,13 +75,18 @@ def _vumps_iteration(psi: InfiniteMPS, H, m: int, restarts: int,
     def solve_ac(GL, W, GR, AC):
         # no matvec_fast: at D=256 the matvecs are cheap and the forced
         # second restart offsets the bf16 savings (measured 59.8 vs 58.5 ms)
+        # reorth="local1": the single-pass 3-term recurrence (DMRG's
+        # default since round 3) measured 6.34 vs 6.66 ms/iter against
+        # "local" at the D=256 bench workload (round-5 exp_r5_vumps);
+        # restarted warm solves keep f64 energies at the full-reorth
+        # values (CPU suite oracles)
         res = eigsh_smallest(lambda x: ac_apply(GL, W, GR, x), AC,
-                             m, restarts, inner_tol, reorth="local")
+                             m, restarts, inner_tol, reorth="local1")
         return res.eigenvector, res.converged
 
     def solve_c(GL_next, GR, C):
         res = eigsh_smallest(lambda x: c_apply(GL_next, GR, x), C,
-                             m, restarts, inner_tol, reorth="local")
+                             m, restarts, inner_tol, reorth="local1")
         return res.eigenvector, res.converged
 
     GL_next = jnp.roll(envs.GLs, -1, axis=0)  # GLs[i+1] for bond i
@@ -114,17 +128,53 @@ def _vumps_iteration(psi: InfiniteMPS, H, m: int, restarts: int,
     return psi_new, eps, envs, diag
 
 
+_vumps_iteration = partial(jax.jit, static_argnums=(2, 3, 4, 5))(
+    _vumps_iteration_impl)
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _vumps_iterations_scan(psi: InfiniteMPS, H, m: int, restarts: int,
+                           gauge_tol: float, env_tol_static: float,
+                           nbatch: int, inner_tol=1e-6, envs=None):
+    """`nbatch` VUMPS iterations in ONE jit (lax.scan over the iteration
+    body, state + warm-started environments carried through) — no host
+    dispatch between iterations. `envs` must be a concrete InfiniteHamEnv
+    (run one `_vumps_iteration` first to create it). Returns
+    (psi', eps_last, envs', (n_unconv_total, worst_env_resid))."""
+
+    def body(carry, _):
+        psi_c, envs_c = carry
+        psi_n, eps, envs_n, diag = _vumps_iteration_impl(
+            psi_c, H, m, restarts, gauge_tol, env_tol_static, inner_tol,
+            env_guess=envs_c)
+        return (psi_n, envs_n), (eps, diag[0], diag[1])
+
+    (psi, envs), (epss, nunc, resids) = jax.lax.scan(
+        body, (psi, envs), None, length=nbatch)
+    diag = (jnp.sum(nunc), jnp.max(resids))
+    return psi, epss[-1], envs, diag
+
+
 def find_groundstate_vumps(psi: InfiniteMPS, H, alg: VUMPS = VUMPS()):
     """Run VUMPS. Returns (psi, envs, eps)."""
     log = IterLog("VUMPS", alg.verbosity)
     eps = 1.0
     it = 0
     env_guess = None
+    nb = max(1, int(alg.device_batch))
     for it in range(1, alg.maxiter + 1):
         inner_tol = updatetol(eps, it)
-        psi, eps, env_guess, diag = _vumps_iteration(
-            psi, H, alg.krylovdim, alg.eig_maxrestarts, alg.gauge_tol,
-            1e-12, inner_tol, env_guess=env_guess)
+        if nb > 1 and env_guess is not None and alg.finalize is None:
+            # device-side batch: nb iterations per dispatch (see VUMPS
+            # docstring); first iteration (env_guess None) runs single to
+            # materialize the environment carry
+            psi, eps, env_guess, diag = _vumps_iterations_scan(
+                psi, H, alg.krylovdim, alg.eig_maxrestarts, alg.gauge_tol,
+                1e-12, nb, inner_tol, envs=env_guess)
+        else:
+            psi, eps, env_guess, diag = _vumps_iteration(
+                psi, H, alg.krylovdim, alg.eig_maxrestarts, alg.gauge_tol,
+                1e-12, inner_tol, env_guess=env_guess)
         if alg.finalize is not None:
             psi = alg.finalize(it, psi, H) or psi
         eps = float(eps)

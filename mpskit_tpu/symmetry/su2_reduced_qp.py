@@ -241,8 +241,10 @@ def left_null_reduced(AL: RBlocks, tjp: int) -> RBlocks:
     channels (measured: 6 of 16 null dimensions on a {1/2 x2, 3/2}
     spin-1 bond), truncating the excitation ansatz."""
     secs_l = {}
-    for (tjl, _), blk in AL.items():
+    secs_m = {}
+    for (tjl, tjm_), blk in AL.items():
         secs_l[tjl] = blk.shape[0]
+        secs_m[tjm_] = blk.shape[1]
     tjms = sorted({tjm for tjl in secs_l
                    for tjm in range(abs(tjl - tjp), tjl + tjp + 1, 2)})
     keys, vals = [], []
@@ -255,8 +257,13 @@ def left_null_reduced(AL: RBlocks, tjp: int) -> RBlocks:
             blk = AL.get((tjl, tjm))
             nl = secs_l[tjl]
             meta.append((tjl, nl))
+            # a missing block is an all-zero block of the tjm sector's bond
+            # multiplicity — NOT 0 columns, which would break the
+            # concatenate whenever another tjl block of the same tjm sector
+            # is present (ADVICE r4); state constructors currently emit
+            # every admissible key, so this is defensive
             rows.append(blk if blk is not None
-                        else jnp.zeros((nl, 0), dtype))
+                        else jnp.zeros((nl, secs_m.get(tjm, 0)), dtype))
         S = jnp.concatenate(rows, axis=0) / sqrt(tjm + 1)
         R, nm = S.shape[0], S.shape[1]
         if R <= nm:
@@ -680,6 +687,18 @@ def qp_envs_reduced(B: RBlocks, AL: RBlocks, AR: RBlocks, gls, grs,
     w = mpo.odim
     secs = _bond_sectors_from_blocks(AL)
     entries = _entry_iter(mpo)
+    # the walks below geometric-solve ONLY the identity diagonals at
+    # levels 0 / w-1; a diagonal entry at a middle level (exponentially
+    # decaying interactions) would need its own linsolve and is silently
+    # skipped by the 'a != b' pushes — refuse instead of being wrong
+    bad = [e for e in entries
+           if e[0] == e[1] and e[0] not in (0, w - 1)]
+    if bad:
+        raise NotImplementedError(
+            "qp_envs_reduced: diagonal FSM entries at middle levels "
+            f"{sorted({e[0] for e in bad})} are not supported (each needs "
+            "its own geometric-tail linsolve); decompose the interaction "
+            "into strictly upper-triangular form first")
 
     # -- left walk: levels 0..w-1 ----------------------------------------
     lBs = [None] * w

@@ -69,7 +69,10 @@ def main():
     H = transverse_field_ising_lattice(g=1.5, dtype=np.float64)
     psi = InfiniteMPS.random(jax.random.PRNGKey(0), 1, 2, D,
                              dtype=jnp.float32)
-    tol = jnp.asarray(1e-6, jnp.float32)
+    # tol_x scales BOTH solve tolerances (env solves above via
+    # hamiltonian_environments, inner eigensolves here) — previously it
+    # was parsed but the inner tol stayed hardcoded (ADVICE r4)
+    tol = jnp.asarray(1e-6 * tol_x, jnp.float32)
     env = None
     with matmul_precision(jnp.float32):
         for _ in range(8):

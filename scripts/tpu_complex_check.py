@@ -1,29 +1,34 @@
-"""Hardware proof of complex time evolution on the TPU (VERDICT rounds 2-3:
-the reference's timestep stack is complex-native,
-/root/reference/src/algorithms/timestep/, and the claim "TPU-native time
-evolution" needs a chip artifact).
+"""Hardware proof of complex capability on the TPU (VERDICT rounds 2-4:
+the reference's timestep + excitation stacks are complex-native,
+/root/reference/src/algorithms/timestep/tdvp.jl:21-59 and
+exci_transfer_system.jl:1-86, and the claim "TPU-native time evolution /
+excitations" needs chip artifacts).
 
-ROUND-4 FINDING: the axon TPU runtime implements NO complex dtype at all —
-even ``jnp.zeros((4,), complex64)`` fails with UNIMPLEMENTED (the round-3
-version of this script, which assumed c64 works on chip as it does on
-stock TPU backends, could never have run here). The probe is recorded in
-the artifact, and the proof instead runs the SPLIT-COMPLEX path
-(tensors/splitc.py + algorithms/tdvp_split.py): complex tensors as real
-f32 pairs, the same real-pair lowering XLA itself performs on TPU
-backends that do support c64.
+ROUND-4 FINDING (still true): the axon TPU runtime implements NO complex
+dtype at all — even ``jnp.zeros((4,), complex64)`` fails UNIMPLEMENTED.
+Everything complex runs the SPLIT-COMPLEX path (tensors/splitc.py):
+complex tensors as real pairs, the same real-pair lowering XLA performs on
+TPU backends that do support c64.
 
-ON THE CHIP this script runs:
+ON THE CHIP this script runs (round-5 surface, VERDICT r4 directive 4):
   1. the c64 probe (subprocess, so the failed trace cannot poison the
-     main client) — records the UNIMPLEMENTED error string;
-  2. a split-complex TDVP quench on the finite TFIM (L=32, D=256 f32
-     pairs): ground state at g=1.5 (f32 DMRG), quench to g=0.5, 3 TDVP
-     steps of dt=0.05; asserts the energy drift stays at the f32 floor
-     and the energies match a CPU complex128 reference trajectory run by
-     a concurrent subprocess (the complex-NATIVE code path, so the two
-     implementations cross-check each other).
+     main client) — records the UNIMPLEMENTED error strings;
+  2. a FINITE split-complex TDVP quench (L=32, D=256, f32): TFIM ground
+     state at g=1.5, quench to g=0.5, 3 steps — energy drift at the f32
+     floor, parity vs a concurrent CPU complex128 trajectory, and the
+     PRE-projection norm drift (the honest diagnostic, ADVICE r4);
+  3. the same quench at L=16, D=32 in FLOAT64 (TPU-emulated) — the 1e-8
+     parity story vs CPU c128;
+  4. an INFINITE split-complex TDVP step (D=32, f64) vs CPU c128
+     (algorithms/tdvp_split_infinite.py — the geometric-tail environment
+     solves with complex phases, on chip);
+  5. a QP DISPERSION POINT at p = 0.7 (not a multiple of pi — unreachable
+     for any real-dtype path) on the infinite TFIM at D=16, f64, vs the
+     exact dispersion 2 sqrt(g^2 - 2 g cos p + 1) and a CPU c128
+     complex-native solve (algorithms/excitations_split.py).
 
-Writes TPU_COMPLEX_r04.json at the repo root. Run alone (no concurrent
-TPU processes); takes ~10-15 min (remote compiles + the CPU reference).
+Writes TPU_COMPLEX_r05.json at the repo root. Run alone (no concurrent
+TPU processes); takes ~20-30 min (remote compiles + CPU references).
 """
 import json
 import subprocess
@@ -41,6 +46,9 @@ import numpy as np
 L, D, G0, G1 = 32, 256, 1.5, 0.5
 DT, NSTEP = 0.05, 3
 M_KRYLOV = 20
+L64, D64 = 16, 32          # float64 finite parity section
+D_INF, G_INF0, G_INF1 = 32, 1.2, 1.5   # infinite step section
+D_QP, G_QP, P_QP = 16, 1.5, 0.7        # dispersion section
 
 PROBE_CODE = """
 import jax, jax.numpy as jnp, json
@@ -71,28 +79,79 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 import jax.numpy as jnp, numpy as np, json
 from mpskit_tpu.models.hamiltonians import transverse_field_ising_lattice
-from mpskit_tpu.states import FiniteMPS
+from mpskit_tpu.states import FiniteMPS, InfiniteMPS
 from mpskit_tpu.algorithms.dmrg import DMRG, find_groundstate_dmrg
 from mpskit_tpu.algorithms.tdvp import TDVP, timestep
 from mpskit_tpu.algorithms.expval import expectation_value
+from mpskit_tpu.algorithms.vumps import VUMPS, find_groundstate_vumps
+from mpskit_tpu.environments.infinite_ham import hamiltonian_environments
+from mpskit_tpu.algorithms.excitations import (QuasiparticleAnsatz,
+                                               excitations_infinite)
 
-H0 = transverse_field_ising_lattice(g={G0}, dtype=np.float64)
-H1 = transverse_field_ising_lattice(g={G1}, dtype=np.float64)
-psi = FiniteMPS.random(jax.random.PRNGKey(0), {L}, 2, {D}, dtype=jnp.float64)
-psi, _, _ = find_groundstate_dmrg(psi, H0, DMRG(tol=1e-8, maxiter=12))
-psi = FiniteMPS(psi.ALs.astype(jnp.complex128), psi.ARs.astype(jnp.complex128),
-                psi.AC.astype(jnp.complex128), psi.center)
-es = [float(jnp.real(expectation_value(psi, H1)))]
-t = 0.0
-for _ in range({NSTEP}):
-    psi, _ = timestep(psi, H1, t, {DT}, TDVP())
-    t += {DT}
-    es.append(float(jnp.real(expectation_value(psi, H1))))
-print("CPUREF " + json.dumps(es))
+# -- finite c128 quench trajectories (f32 and f64 sections share code) --
+def finite_traj(L, D, nstep):
+    H0 = transverse_field_ising_lattice(g={G0}, dtype=np.float64)
+    H1 = transverse_field_ising_lattice(g={G1}, dtype=np.float64)
+    psi = FiniteMPS.random(jax.random.PRNGKey(0), L, 2, D,
+                           dtype=jnp.float64)
+    psi, _, _ = find_groundstate_dmrg(psi, H0, DMRG(tol=1e-8, maxiter=12))
+    psi = FiniteMPS(psi.ALs.astype(jnp.complex128),
+                    psi.ARs.astype(jnp.complex128),
+                    psi.AC.astype(jnp.complex128), psi.center)
+    es = [float(jnp.real(expectation_value(psi, H1)))]
+    t = 0.0
+    for _ in range(nstep):
+        psi, _ = timestep(psi, H1, t, {DT}, TDVP())
+        t += {DT}
+        es.append(float(jnp.real(expectation_value(psi, H1))))
+    return es
+
+print("CPUREF_F32 " + json.dumps(finite_traj({L}, {D}, {NSTEP})), flush=True)
+print("CPUREF_F64 " + json.dumps(finite_traj({L64}, {D64}, {NSTEP})),
+      flush=True)
+
+# -- infinite c128 quench step (energy density before/after) -----------
+H0 = transverse_field_ising_lattice(g={G_INF0}, dtype=np.float64)
+H1 = transverse_field_ising_lattice(g={G_INF1}, dtype=np.float64)
+psi = InfiniteMPS.random(jax.random.PRNGKey(0), 1, 2, {D_INF},
+                         dtype=jnp.float64)
+psi, envs, _ = find_groundstate_vumps(psi, H0, VUMPS(tol=1e-11,
+                                                     maxiter=300))
+psic = InfiniteMPS(*(x.astype(jnp.complex128)
+                     for x in (psi.AL, psi.AR, psi.AC, psi.C)))
+from mpskit_tpu.algorithms.tdvp import _timestep_infinite
+es_inf = []
+env = None
+for _ in range(3):
+    psic, envc, err = _timestep_infinite(psic, H1, 30, {DT}, 1e-12,
+                                         env_guess=env)
+    env = (envc.GLs, envc.GRs) if hasattr(envc, "GLs") else None
+    es_inf.append(float(jnp.real(envc.e_density)))
+print("CPUREF_INF " + json.dumps({{"es": es_inf,
+    "al": np.asarray(psi.AL).tolist()}}), flush=True)
+
+# -- QP dispersion point at p = {P_QP} (complex-native) ----------------
+Hq = transverse_field_ising_lattice(g={G_QP}, dtype=np.float64)
+psiq = InfiniteMPS.random(jax.random.PRNGKey(0), 1, 2, {D_QP},
+                          dtype=jnp.float64)
+psiq, envq, _ = find_groundstate_vumps(psiq, Hq, VUMPS(tol=1e-12,
+                                                       maxiter=300))
+psiqc = InfiniteMPS(*(x.astype(jnp.complex128)
+                      for x in (psiq.AL, psiq.AR, psiq.AC, psiq.C)))
+envqc = hamiltonian_environments(psiqc, Hq, tol=1e-12)
+alg = QuasiparticleAnsatz(tol=1e-10, krylovdim=24, maxrestarts=40)
+es_q, _ = excitations_infinite(Hq, alg, [{P_QP}], psiqc, envs=envqc)
+print("CPUREF_QP " + json.dumps({{"e": float(jnp.real(es_q[0, 0])),
+    "al": np.asarray(psiq.AL).tolist()}}), flush=True)
 """
 
 
-def main():
+def tfim_gap(g, p):
+    return 2.0 * np.sqrt(g * g - 2 * g * np.cos(p) + 1.0)
+
+
+def finite_quench_on_chip(out, key, L, D, dtype, nstep):
+    """Sections 2 and 3: the finite split quench at the given dtype."""
     from mpskit_tpu.models.hamiltonians import transverse_field_ising_lattice
     from mpskit_tpu.states import FiniteMPS
     from mpskit_tpu.algorithms.dmrg import DMRG, find_groundstate_dmrg
@@ -104,8 +163,61 @@ def main():
     from mpskit_tpu.tensors.splitc import sc
     from mpskit_tpu.config import matmul_precision
 
+    H0 = transverse_field_ising_lattice(g=G0, dtype=np.float64)
+    H1 = transverse_field_ising_lattice(g=G1, dtype=np.float64)
+    with matmul_precision(dtype):
+        psi = FiniteMPS.random(jax.random.PRNGKey(0), L, 2, D, dtype=dtype)
+        psi, _, _ = find_groundstate_dmrg(psi, H0, DMRG(tol=1e-8, maxiter=12))
+        psi = psi.move_center(0)
+        state = (jnp.stack([psi.ALs, jnp.zeros_like(psi.ALs)], axis=0),
+                 jnp.stack([psi.ARs, jnp.zeros_like(psi.ARs)], axis=0),
+                 sc(psi.AC))
+        Ws = stack_W(H1, L).astype(dtype)
+        GRs = compute_right_envs_split(
+            state[1], Ws, sc(right_boundary(Ws.shape[1], D, dtype)))
+        es = [float(expectation_value_split(state[2], Ws, GRs))]
+        masks = jnp.asarray(support_mask(L, 2, D))
+        t0 = time.perf_counter()
+        errs, drifts = [], []
+        for _ in range(nstep):
+            state, GRs, err, drift = timestep_split(state, H1, DT,
+                                                    m=M_KRYLOV, masks=masks)
+            es.append(float(expectation_value_split(state[2], Ws, GRs)))
+            errs.append(float(err))
+            drifts.append(float(drift))
+        wall = time.perf_counter() - t0
+    edrift = max(abs(e - es[0]) for e in es[1:]) / abs(es[0])
+    out[key] = {
+        "L": L, "D": D, "dtype": str(jnp.dtype(dtype)), "dt": DT,
+        "steps": nstep, "krylov_m": M_KRYLOV,
+        "energies_tpu_splitc": es, "rel_energy_drift": edrift,
+        # the honest norm diagnostic: radial error of each step's Krylov
+        # exponentials BEFORE the sphere projection (ADVICE r4 — the
+        # post-projection norm is 1 by construction and proves nothing)
+        "preprojection_norm_drift": drifts,
+        "krylov_trunc_estimates": errs, "wall_s": round(wall, 2),
+    }
+    print(f"[{key}] E(t) = {es}, drift {edrift:.2e}, "
+          f"pre-projection norm drift {max(drifts):.2e}, wall {wall:.1f}s",
+          flush=True)
+    assert np.isfinite(es).all()
+    return es
+
+
+def main():
+    from mpskit_tpu.models.hamiltonians import transverse_field_ising_lattice
+    from mpskit_tpu.states import InfiniteMPS
+    from mpskit_tpu.environments.infinite_ham import FixedPointEnv
+    from mpskit_tpu.algorithms.tdvp_split_infinite import (
+        _timestep_infinite_split, split_state_from_infinite,
+    )
+    from mpskit_tpu.algorithms.excitations_split import dispersion_split
+    from mpskit_tpu.algorithms.excitations import QuasiparticleAnsatz
+    from mpskit_tpu.tensors.splitc import to_complex
+    from mpskit_tpu.states.gauging import uniform_orthogonalize
+
     out = {"platform": str(jax.devices()[0]),
-           "representation": "split-complex f32 pairs (tensors/splitc.py)"}
+           "representation": "split-complex real pairs (tensors/splitc.py)"}
 
     # ---- 0. the c64 probe, in its own process ---------------------------
     probe = subprocess.run([sys.executable, "-c", PROBE_CODE],
@@ -115,68 +227,104 @@ def main():
             out["c64_backend_probe"] = json.loads(line[len("PROBE "):])
     print("c64 probe:", out.get("c64_backend_probe"), flush=True)
 
-    # launch the CPU c128 reference concurrently (CPU-only subprocess)
+    # launch the CPU c128 references concurrently (CPU-only subprocess)
     cpu_proc = subprocess.Popen([sys.executable, "-c", CPU_REF_CODE],
                                 stdout=subprocess.PIPE,
                                 stderr=subprocess.DEVNULL, text=True)
 
-    # ---- 1. split-complex TDVP quench on the chip ------------------------
-    H0 = transverse_field_ising_lattice(g=G0, dtype=np.float64)
-    H1 = transverse_field_ising_lattice(g=G1, dtype=np.float64)
-    with matmul_precision(jnp.float32):
-        psi = FiniteMPS.random(jax.random.PRNGKey(0), L, 2, D,
-                               dtype=jnp.float32)
-        psi, _, _ = find_groundstate_dmrg(psi, H0, DMRG(tol=1e-8, maxiter=12))
-        psi = psi.move_center(0)
-        state = (jnp.stack([psi.ALs, jnp.zeros_like(psi.ALs)], axis=0),
-                 jnp.stack([psi.ARs, jnp.zeros_like(psi.ARs)], axis=0),
-                 sc(psi.AC))
-        Ws = stack_W(H1, L).astype(jnp.float32)
-        GRs = compute_right_envs_split(
-            state[1], Ws, sc(right_boundary(Ws.shape[1], D, jnp.float32)))
-        es = [float(expectation_value_split(state[2], Ws, GRs))]
-        masks = jnp.asarray(support_mask(L, 2, D))
-        t0 = time.perf_counter()
-        errs = []
-        for _ in range(NSTEP):
-            state, GRs, err = timestep_split(state, H1, DT, m=M_KRYLOV,
-                                             masks=masks)
-            es.append(float(expectation_value_split(state[2], Ws, GRs)))
-            errs.append(float(err))
-        wall = time.perf_counter() - t0
-    drift = max(abs(e - es[0]) for e in es[1:]) / abs(es[0])
-    norm_err = abs(float(jnp.linalg.norm(state[2])) - 1.0)
-    out["tdvp_quench_split"] = {
-        "L": L, "D": D, "dt": DT, "steps": NSTEP, "krylov_m": M_KRYLOV,
-        "energies_tpu_splitc": es, "rel_energy_drift": drift,
-        "norm_error": norm_err, "krylov_trunc_estimates": errs,
-        "wall_s": round(wall, 2),
-    }
-    print(f"TPU split-complex TDVP: E(t) = {es}, drift {drift:.2e}, "
-          f"norm err {norm_err:.2e}, wall {wall:.1f}s", flush=True)
-    assert np.isfinite(es).all()
-    assert drift < 2e-3, f"energy drift {drift} above the f32 floor"
-    assert norm_err < 1e-3, f"norm error {norm_err}"
+    # ---- 2. finite split TDVP quench, f32 (the round-4 headline) -------
+    es_f32 = finite_quench_on_chip(out, "tdvp_quench_split", L, D,
+                                   jnp.float32, NSTEP)
+    assert out["tdvp_quench_split"]["rel_energy_drift"] < 2e-3
+    assert max(out["tdvp_quench_split"]["preprojection_norm_drift"]) < 1e-2
 
-    # ---- CPU c128 reference comparison ---------------------------------
-    cpu_out, _ = cpu_proc.communicate(timeout=3600)
-    es_cpu = None
+    # ---- 3. finite split TDVP quench, FLOAT64 (1e-8 parity story) ------
+    es_f64 = finite_quench_on_chip(out, "tdvp_quench_split_f64", L64, D64,
+                                   jnp.float64, NSTEP)
+    assert out["tdvp_quench_split_f64"]["rel_energy_drift"] < 1e-8
+    assert max(out["tdvp_quench_split_f64"]["preprojection_norm_drift"]) \
+        < 1e-9
+
+    # collect the CPU references (needed for the infinite/QP ground states
+    # so chip and CPU solve from the SAME uniform state)
+    cpu_out, _ = cpu_proc.communicate(timeout=5400)
+    refs = {}
     for line in cpu_out.splitlines():
-        if line.startswith("CPUREF "):
-            es_cpu = json.loads(line[len("CPUREF "):])
-    assert es_cpu is not None, "CPU reference run failed"
-    rel = max(abs(a - b) for a, b in zip(es, es_cpu)) / abs(es_cpu[0])
-    out["tdvp_quench_split"]["energies_cpu_c128"] = es_cpu
-    out["tdvp_quench_split"]["rel_err_vs_cpu_c128"] = rel
-    print(f"CPU c128 E(t) = {es_cpu}; TPU-vs-CPU rel err {rel:.2e}",
-          flush=True)
-    # the two trajectories start from independently converged ground
-    # states (f32 vs f64 DMRG) and use different QR algorithms (split
-    # Householder vs LAPACK) — agreement at the f32 floor is the bar
-    assert rel < 5e-3, rel
+        for tag in ("CPUREF_F32", "CPUREF_F64", "CPUREF_INF", "CPUREF_QP"):
+            if line.startswith(tag + " "):
+                refs[tag] = json.loads(line[len(tag) + 1:])
+    assert set(refs) == {"CPUREF_F32", "CPUREF_F64", "CPUREF_INF",
+                         "CPUREF_QP"}, refs.keys()
 
-    (ROOT / "TPU_COMPLEX_r04.json").write_text(json.dumps(out, indent=1))
-    print("WROTE TPU_COMPLEX_r04.json")
+    rel32 = max(abs(a - b) for a, b in zip(es_f32, refs["CPUREF_F32"])) \
+        / abs(refs["CPUREF_F32"][0])
+    out["tdvp_quench_split"]["energies_cpu_c128"] = refs["CPUREF_F32"]
+    out["tdvp_quench_split"]["rel_err_vs_cpu_c128"] = rel32
+    print(f"finite f32 vs CPU c128: rel err {rel32:.2e}", flush=True)
+    assert rel32 < 5e-3, rel32    # independent ground states; f32 floor
+
+    rel64 = max(abs(a - b) for a, b in zip(es_f64, refs["CPUREF_F64"])) \
+        / abs(refs["CPUREF_F64"][0])
+    out["tdvp_quench_split_f64"]["energies_cpu_c128"] = refs["CPUREF_F64"]
+    out["tdvp_quench_split_f64"]["rel_err_vs_cpu_c128"] = rel64
+    print(f"finite f64 vs CPU c128: rel err {rel64:.2e}", flush=True)
+    assert rel64 < 1e-8, rel64    # the repo's BASELINE parity bar
+
+    # ---- 4. INFINITE split TDVP steps on chip (f64, D=32) --------------
+    H1 = transverse_field_ising_lattice(g=G_INF1, dtype=np.float64)
+    AL = jnp.asarray(np.array(refs["CPUREF_INF"]["al"]), jnp.float64)
+    psi = uniform_orthogonalize(AL)       # same gs the CPU ref evolved
+    ps = split_state_from_infinite(psi)
+    es_inf, drifts_inf = [], []
+    env = None
+    t0 = time.perf_counter()
+    for _ in range(3):
+        ps, envs, err, drift = _timestep_infinite_split(
+            ps, H1, 30, DT, 1e-12, env_guess=env)
+        env = (envs[0], envs[1])
+        es_inf.append(float(np.real(complex(to_complex(envs[2])))))
+        drifts_inf.append(float(drift))
+    wall_inf = time.perf_counter() - t0
+    rel_inf = max(abs(a - b) for a, b in zip(es_inf, refs["CPUREF_INF"]["es"])) \
+        / abs(refs["CPUREF_INF"]["es"][0])
+    out["tdvp_infinite_split"] = {
+        "D": D_INF, "dtype": "float64", "dt": DT, "steps": 3,
+        "e_density_tpu": es_inf, "e_density_cpu_c128": refs["CPUREF_INF"]["es"],
+        "rel_err_vs_cpu_c128": rel_inf,
+        "preprojection_norm_drift": drifts_inf,
+        "wall_s": round(wall_inf, 2),
+    }
+    print(f"infinite split TDVP: e(t) = {es_inf} vs CPU "
+          f"{refs['CPUREF_INF']['es']}, rel {rel_inf:.2e}, "
+          f"wall {wall_inf:.1f}s", flush=True)
+    assert rel_inf < 1e-8, rel_inf
+
+    # ---- 5. QP dispersion at p = 0.7 on chip (f64, D=16) ---------------
+    ALq = jnp.asarray(np.array(refs["CPUREF_QP"]["al"]), jnp.float64)
+    psiq = uniform_orthogonalize(ALq)
+    from mpskit_tpu.environments.infinite_ham import hamiltonian_environments
+    Hq = transverse_field_ising_lattice(g=G_QP, dtype=np.float64)
+    envq = hamiltonian_environments(psiq, Hq, tol=1e-12)
+    alg = QuasiparticleAnsatz(tol=1e-8, krylovdim=24, maxrestarts=40)
+    t0 = time.perf_counter()
+    e_qp, _X, resid = dispersion_split(Hq, psiq, envq, P_QP, alg=alg)
+    e_qp = float(e_qp)
+    wall_qp = time.perf_counter() - t0
+    exact = tfim_gap(G_QP, P_QP)
+    out["qp_dispersion_split"] = {
+        "p": P_QP, "g": G_QP, "D": D_QP, "dtype": "float64",
+        "energy_tpu": e_qp, "energy_cpu_c128": refs["CPUREF_QP"]["e"],
+        "energy_exact": exact, "residual": float(resid),
+        "wall_s": round(wall_qp, 2),
+    }
+    print(f"QP dispersion p={P_QP}: chip {e_qp:.10f} vs CPU c128 "
+          f"{refs['CPUREF_QP']['e']:.10f} vs exact {exact:.10f}, "
+          f"wall {wall_qp:.1f}s", flush=True)
+    assert abs(e_qp - refs["CPUREF_QP"]["e"]) < 1e-6
+    assert abs(e_qp - exact) < 1e-3
+
+    (ROOT / "TPU_COMPLEX_r05.json").write_text(json.dumps(out, indent=1))
+    print("WROTE TPU_COMPLEX_r05.json")
 
 
 if __name__ == "__main__":

@@ -108,8 +108,9 @@ def test_expm_split_matches_complex():
     v = _rand_c(jax.random.PRNGKey(7), (n,))
     want = expm_multiply(lambda x: H @ x, v, -1j * dt, m)
     Hs = from_complex(H)
-    got, err = expm_multiply_split(
+    got, err, drift = expm_multiply_split(
         lambda x: ceinsum("ij,j->i", Hs, x), from_complex(v), dt, m)
+    assert float(drift) < 1e-9  # pre-projection radial error at full m
     np.testing.assert_allclose(np.asarray(to_complex(got)), np.asarray(want),
                                atol=1e-10)
     # unitarity of the Krylov exponential at full m
@@ -158,8 +159,9 @@ def test_split_tdvp_step_matches_complex():
     for _ in range(3):
         sGRs = compute_right_envs_split(sARs, Wr, sc(rb(Wr.shape[1], D,
                                                         jnp.float64)))
-        sALs, sARs, sAC, sGRs, _ = _timestep_finite_split(
+        sALs, sARs, sAC, sGRs, _, sdrift = _timestep_finite_split(
             sALs, sARs, sAC, Wr, sGRs, m, dt=dt)
+        assert float(sdrift) < 1e-9  # f64: pre-projection drift at the floor
         es_s.append(float(expectation_value_split(sAC, Wr, sGRs)))
 
     np.testing.assert_allclose(es_s, es_c, atol=1e-9)

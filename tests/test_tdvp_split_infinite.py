@@ -71,7 +71,8 @@ def test_one_step_parity_vs_complex_native():
         psic.C[0], tau, 30)
 
     ps = split_state_from_infinite(psic)
-    out, envs_s, err = _timestep_infinite_split(ps, H, 30, dt, 1e-12)
+    out, envs_s, err, drift = _timestep_infinite_split(ps, H, 30, dt, 1e-12)
+    assert float(drift) < 1e-9
     AC_s = np.asarray(to_complex(out[2]))[0]
     C_s = np.asarray(to_complex(out[3]))[0]
     np.testing.assert_allclose(AC_s, np.asarray(AC_c), atol=1e-9)
@@ -86,9 +87,9 @@ def test_split_quench_conserves_energy():
     es = []
     env = None
     for _ in range(6):
-        ps, envs, err = _timestep_infinite_split(ps, H, 30, 0.02, 1e-12,
-                                                 env_guess=(envs[0], envs[1])
-                                                 if env is not None else None)
+        ps, envs, err, _drift = _timestep_infinite_split(
+            ps, H, 30, 0.02, 1e-12,
+            env_guess=(envs[0], envs[1]) if env is not None else None)
         env = envs
         es.append(complex(to_complex(envs[2])).real)
     es = np.asarray(es)
