@@ -48,13 +48,18 @@ n = 32
 _, eps_dry, _, _ = _vumps_iterations_scan(psi, H, KRYLOVDIM, RESTARTS,
                                           1e-8, 1e-8, n, tol, envs=env)
 float(eps_dry)
+# 3 back-to-back replays of the same batch, one readback — matches
+# bench.py exactly (96 executed iterations of the 9..40 window)
+reps = 3
 t0 = time.perf_counter()
-psi, eps, env, _diag = _vumps_iterations_scan(psi, H, KRYLOVDIM, RESTARTS,
-                                              1e-8, 1e-8, n, tol, envs=env)
+for _ in range(reps):
+    psi2, eps, env2, _diag = _vumps_iterations_scan(
+        psi, H, KRYLOVDIM, RESTARTS, 1e-8, 1e-8, n, tol, envs=env)
 float(eps)
-print("cpu_1core_vumps_iter_s", (time.perf_counter() - t0) / n, flush=True)
+print("cpu_1core_vumps_iter_s", (time.perf_counter() - t0) / (n * reps),
+      flush=True)
 
-# DMRG sweep, D=512 — 1 warm sweep + 3 timed with cheap_galerkin,
+# DMRG sweep, D=512 — 1 warm sweep + 6 timed with cheap_galerkin,
 # matching bench.py's protocol exactly
 psi = FiniteMPS.random(jax.random.PRNGKey(0), L, d, D, dtype=DTYPE)
 Ws = stack_W(H, L).astype(DTYPE)
@@ -66,7 +71,7 @@ a, b, c, g2, lam, eps, _diag = _dmrg_sweep(a, b, c, Ws, g2, itol,
                                            KRYLOVDIM, RESTARTS, masks=masks,
                                            cheap_galerkin=True)
 float(jnp.real(lam))
-n = 3
+n = 6
 t0 = time.perf_counter()
 for _ in range(n):
     a, b, c, g2, lam, eps, _diag = _dmrg_sweep(a, b, c, Ws, g2, itol,
