@@ -121,9 +121,12 @@ def _gmres_cycle_adaptive(op: Callable, r, beta, m: int, exit_tol,
 
     # solve the leading j-by-j triangular block: mask unfilled columns to
     # the identity so the padded solve is well-posed, then zero the slack y.
-    # A tiny diagonal floor guards breakdown-step columns (jnp.linalg.solve
-    # rather than solve_triangular: LU of a triangular matrix is trivial and
-    # this lowering is already proven inside TPU while_loop bodies here).
+    # A tiny diagonal floor guards breakdown-step columns. Solved by an
+    # UNROLLED column-sweep back-substitution (m sequential vector steps)
+    # rather than jnp.linalg.solve: the TPU's LuDecomposition custom call
+    # is f32/c64-only (f64[12,12] fails AOT compilation — round-5 chip
+    # artifact), back-substitution is dtype-agnostic, and for triangular
+    # Rm it is exact.
     colmask = jnp.arange(m) < j
     Rm = R[:m] * colmask[None, :].astype(cdt) + \
         jnp.diag((~colmask).astype(cdt))
@@ -131,7 +134,11 @@ def _gmres_cycle_adaptive(op: Callable, r, beta, m: int, exit_tol,
     floor = 100 * jnp.finfo(rdt).eps * jnp.maximum(jnp.max(dmag), _TINY)
     Rm = Rm + jnp.diag(jnp.where(dmag < floor, floor, 0.0).astype(cdt))
     g = (beta.astype(cdt) * Q[:m, 0]) * colmask.astype(cdt)
-    y = jnp.linalg.solve(Rm, g)
+    idx = jnp.arange(m)
+    y = g
+    for i in range(m - 1, -1, -1):
+        yi = y[i] / Rm[i, i]
+        y = jnp.where(idx == i, yi, y - Rm[:, i] * yi * (idx < i))
     y = y * colmask.astype(cdt)
     dx = basis_combine(V, jnp.pad(y, (0, 1)))
     return dx, est, j
